@@ -1,0 +1,87 @@
+"""Delta + variable-byte posting compression (numpy-vectorized, no per-row
+Python in the encode/decode hot loop).
+
+The reference stores postings inside Elasticsearch/Lucene, whose posting format
+is delta + (FOR/varbyte) blocks; this module is our native equivalent per
+BASELINE.json north_star ("delta-encode + varbyte-compress postings into a
+Spark-managed segment store"). Classic VByte: 7 payload bits per byte,
+continuation bit 0x80 on the LAST byte of each value (little-endian groups).
+
+Encode: compute per-value byte length, exclusive-scan offsets, scatter shifted
+7-bit groups into a flat uint8 buffer — O(total_bytes) numpy ops, no Python
+loop over values. Decode: vectorized via terminator mask + segmented polynomial
+accumulation (loop over max_bytes_per_value ≤ 10, not over values).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_BYTES = 10  # 63-bit values need at most ceil(63/7) = 9; 10 is safe for uint64
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a 1-D array of non-negative ints."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    mask = tmp > 0
+    while mask.any():
+        nbits[mask] += 1
+        tmp >>= np.uint64(1)
+        mask = tmp > 0
+    nbytes = np.maximum((nbits + 6) // 7, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    buf = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    # scatter the k-th 7-bit group of every value that has one
+    for k in range(int(nbytes.max())):
+        sel = nbytes > k
+        idx = offsets[:-1][sel] + k
+        group = (v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        buf[idx] = group.astype(np.uint8)
+    # continuation: set 0x80 on the last byte of each value
+    buf[offsets[1:] - 1] |= 0x80
+    return buf.tobytes()
+
+
+def vb_decode(data: bytes) -> np.ndarray:
+    """Decode varbyte bytes back to a uint64 array."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if buf.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero(buf & 0x80)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    out = np.zeros(ends.size, dtype=np.uint64)
+    lengths = ends - starts + 1
+    for k in range(int(lengths.max())):
+        sel = lengths > k
+        b = buf[starts[sel] + k].astype(np.uint64) & np.uint64(0x7F)
+        out[sel] |= b << np.uint64(7 * k)
+    return out
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """First value + successive gaps (input must be strictly increasing)."""
+    a = np.asarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    out = np.empty_like(a)
+    out[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    g = np.asarray(gaps, dtype=np.uint64)
+    return np.cumsum(g, dtype=np.uint64)
+
+
+def encode_doc_ids(sorted_doc_ids: np.ndarray) -> bytes:
+    return vb_encode(delta_encode(sorted_doc_ids))
+
+
+def decode_doc_ids(data: bytes) -> np.ndarray:
+    return delta_decode(vb_decode(data))

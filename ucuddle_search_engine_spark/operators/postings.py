@@ -1,0 +1,117 @@
+"""Inverted-index construction: docs, postings, term/doc statistics.
+
+The reference gets all of this for free by POSTing documents into analyzed ES
+`text` fields (mappings crawler/functs_with_elastic.go:84-97); we build it
+natively (SURVEY.md §2.4 A1) with pure DataFrame ops so the whole build stays
+inside whole-stage codegen — no Python in the hot path:
+
+    tokenize (regexp_extract_all) → posexplode → groupBy(term, doc_id) agg
+
+Skew posture at 100 TB:
+- the tf aggregation groups on (term, doc_id, field) — key cardinality is the
+  posting count itself, so Zipf head terms do NOT concentrate on one reducer;
+- term_stats / doc_stats are partial-aggregated (map-side combine) counts, the
+  one shape AQE+hash-agg already handles under skew;
+- the only place a whole term must meet is segment assembly, which
+  operators/segments.py range-partitions on (term ordering key, doc_id) so head
+  terms split across many partitions while blocks stay doc-ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyze import tokenize_col
+from ..functions.hashing import sha256_col
+from .ids import assign_doc_ids_prefix, assign_doc_ids_sort
+
+FIELD_CONTENT = 0
+FIELD_TITLE = 1
+
+
+def build_docs(corpus: DataFrame, num_shards: int = 3, scale_ids: bool = False) -> DataFrame:
+    """Corpus (repo, path, commit, lang, content) → docs table.
+
+    - doc_id: deterministic dense rank over (repo, path) — replaces the
+      reference's central counter (task-manager/app.py:102-116).
+    - title: first content line, falling back to the path basename — the
+      reference's title-fallback chain (crawler/main.go:138-174) adapted to a
+      code corpus.
+    - content_sha256: per-row invariant vs the source (BASELINE.json input_hint).
+    - shard: pmod(doc_id, num_shards) — the ES number_of_shards model
+      (crawler/functs_with_elastic.go:75). Queries fan out per shard and merge
+      top-k, exactly ES scatter-gather.
+    """
+    assign = assign_doc_ids_prefix if scale_ids else assign_doc_ids_sort
+    docs = assign(corpus, ["repo", "path"])
+    first_line = F.trim(F.substring_index(F.col("content"), "\n", 1))
+    basename = F.element_at(F.split(F.col("path"), "/"), -1)
+    title = F.when(F.length(first_line) >= 3, first_line).otherwise(basename)
+    return docs.select(
+        "doc_id",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        title.alias("title"),
+        "content",
+        sha256_col("content").alias("content_sha256"),
+        F.size(tokenize_col("content")).cast("long").alias("doclen"),
+        F.pmod(F.col("doc_id"), F.lit(num_shards)).cast("int").alias("shard"),
+    )
+
+
+def build_postings(docs: DataFrame, fields: dict[int, str] | None = None, id_col: str = "doc_id") -> DataFrame:
+    """Docs → canonical postings (term, doc_id, field, tf, positions).
+
+    All JVM-side: posexplode(regexp_extract_all) yields (pos, term) with pos the
+    token position — the positional information ES keeps for `text` fields.
+    """
+    if fields is None:
+        fields = {FIELD_CONTENT: "content", FIELD_TITLE: "title"}
+    parts = []
+    for field_id, col in fields.items():
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokenize_col(col)).alias("pos", "term"),
+        )
+        parts.append(
+            toks.groupBy("term", "doc_id")
+            .agg(
+                F.count("*").alias("tf"),
+                F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
+            )
+            .select(
+                "term",
+                "doc_id",
+                F.lit(field_id).cast("int").alias("field"),
+                F.col("tf").cast("long").alias("tf"),
+                "positions",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """(term, field) → document frequency + collection frequency."""
+    return postings.groupBy("term", "field").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+
+
+def doc_stats(postings: DataFrame) -> DataFrame:
+    """(doc_id, field) → field length in tokens (Σtf)."""
+    return postings.groupBy("doc_id", "field").agg(F.sum("tf").alias("doclen"))
+
+
+def collection_stats(dstats: DataFrame) -> DataFrame:
+    """(field) → N docs + average field length (BM25 denominators)."""
+    return dstats.groupBy("field").agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+    )
