@@ -19,7 +19,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ucuddle_search_engine_spark.functions.textstats import text_stats
+from ucuddle_search_engine_spark.operators.ann import cosine_topk_bruteforce
 from ucuddle_search_engine_spark.operators.bm25 import InvertedIndex
+from ucuddle_search_engine_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ucuddle_search_engine_spark.operators.multimodal import attach_fake_payload, extract_features
+from ucuddle_search_engine_spark.operators.pagerank import pagerank
+from ucuddle_search_engine_spark.operators.segments import build_segments
+from ucuddle_search_engine_spark.operators.wand import SegmentSearcher
 from ucuddle_search_engine_spark.sources.testdata import load_table
 
 # Shared constants — keep Spark and SQL sides in lockstep.
@@ -89,6 +102,71 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOKS_SQL = f"SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term FROM documents"
+
+# 3-token shingles, distinct per doc (DuckDB list slicing is 1-based inclusive)
+_SHINGLES_SQL = f"""
+            t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(CASE WHEN len(t) >= 3
+                            THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                            ELSE CAST([] AS VARCHAR[]) END) AS shingle
+              FROM t0
+            )"""
+
+
+def _lang_hits_sql() -> str:
+    from ucuddle_search_engine_spark.functions.textstats import STOPWORDS
+
+    cols = []
+    for lang in sorted(STOPWORDS):
+        arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        cols.append(f"len(list_intersect(toks, [{arr}])) AS hits_{lang}")
+    return ",\n                     ".join(cols)
+
+
+_TEXT_STATS_SQL = f"""
+            WITH base AS (
+              SELECT doc_id, text, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks
+              FROM documents
+            ),
+            hits AS (
+              SELECT doc_id, text, toks,
+                     {_lang_hits_sql()}
+              FROM base
+            ),
+            m AS (
+              SELECT doc_id, text, toks,
+                     hits_de, hits_en, hits_es, hits_fr,
+                     greatest(hits_de, hits_en, hits_es, hits_fr) AS best,
+                     (CASE WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 1 ELSE 0 END
+                      + CASE WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 1 ELSE 0 END
+                      + CASE WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 1 ELSE 0 END
+                      + CASE WHEN hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 1 ELSE 0 END) AS n_at_max,
+                     CAST(len(toks) AS DOUBLE) AS n_tok,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS alpha_chars
+              FROM hits
+            ),
+            s AS (
+              SELECT doc_id,
+                     CAST(n_tok AS BIGINT) AS n_tokens,
+                     CASE WHEN best > 0 AND n_at_max = 1 THEN
+                       CASE WHEN hits_de = best THEN 'de'
+                            WHEN hits_en = best THEN 'en'
+                            WHEN hits_es = best THEN 'es'
+                            WHEN hits_fr = best THEN 'fr' END
+                     ELSE 'und' END AS lang_pred,
+                     (CASE WHEN n_tok >= 20 AND n_tok <= 10000 THEN 1.0
+                           WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END
+                      + CASE WHEN n_tok > 0 AND alpha_chars / n_tok >= 2.0 AND alpha_chars / n_tok <= 12.0
+                             THEN 1.0 ELSE 0.5 END
+                      + CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END) / 3.0 AS q,
+                     md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+              FROM m
+            )
+            SELECT doc_id, n_tokens, lang_pred, CAST(round(q, 6) AS DOUBLE) AS quality, fingerprint
+            FROM s"""
 
 
 # --------------------------------------------------------------------------
@@ -213,6 +291,134 @@ def q_filter_lang_minlen(spark, sf_dir):
     )
 
 
+def q_bm25_wand_and(spark, sf_dir):
+    """Block-max WAND over the compressed segment store — must match the same
+    oracle as the exact path (that IS the WAND correctness gate)."""
+    documents = load_table(spark, sf_dir, "documents")
+    idx = InvertedIndex.from_documents_table(documents)
+    segs = build_segments(idx.postings, idx.dstats, idx.cstats, num_shards=3)
+    searcher = SegmentSearcher(segs, idx.tstats, idx.cstats, boosts=idx.boosts)
+    out = searcher.search_terms(BM25_AND_TERMS, k=10, mode="and")
+    return out.select("doc_id", F.round(F.col("score"), 6).alias("score"))
+
+
+def q_bm25_wand_or(spark, sf_dir):
+    documents = load_table(spark, sf_dir, "documents")
+    idx = InvertedIndex.from_documents_table(documents)
+    segs = build_segments(idx.postings, idx.dstats, idx.cstats, num_shards=3)
+    searcher = SegmentSearcher(segs, idx.tstats, idx.cstats, boosts=idx.boosts)
+    out = searcher.search_terms(BM25_OR_TERMS, k=10, mode="or")
+    return out.select("doc_id", F.round(F.col("score"), 6).alias("score"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    """F2/F3 content-identity dedup: hash-groupBy, keep min id."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash (16 perms, md5 string-min) + 4-band LSH candidate pairs."""
+    return lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard ≥ 0.5 pairs via shingle-inverted self-join."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    """60-bit SimHash per doc (tf-weighted bit votes, md5-derived term bits)."""
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+EMB_NEARDUP_THRESHOLD = 0.35  # synthetic embeddings top out at cos≈0.51; this keeps the result non-trivial
+
+
+def q_embedding_neardup_pairs(spark, sf_dir):
+    """Cosine ≥ τ near-dup pairs over the embeddings table."""
+    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), EMB_NEARDUP_THRESHOLD)
+
+
+ANN_QUERY_VEC_ID = 0
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == ANN_QUERY_VEC_ID).select("embedding").first()[0]
+    return cosine_topk_bruteforce(emb, [float(x) for x in qvec], k=10)
+
+
+def q_text_stats(spark, sf_dir):
+    """Language-ID + quality + token count + fingerprint per document."""
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+PR_ITERS = 5
+
+
+def _event_graph(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    edges = (
+        events.select(
+            (F.col("user_id") % 500).alias("src_doc_id"),
+            (F.col("event_id") % 500).alias("dst_doc_id"),
+        )
+        .filter(F.col("src_doc_id") != F.col("dst_doc_id"))
+        .dropDuplicates()
+    )
+    ids = spark.range(500).select(F.col("id").alias("doc_id"))
+    return edges, ids
+
+
+def q_pagerank(spark, sf_dir):
+    """Iterative PageRank (5 fixed iterations, d=0.85, dangling redistributed)
+    on a graph derived from events — oracle is 5 unrolled CTE levels."""
+    edges, ids = _event_graph(spark, sf_dir)
+    pr = pagerank(edges, ids, iterations=PR_ITERS)
+    return pr.select("doc_id", F.round("pagerank", 9).alias("pagerank"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload plumbing: deterministic fake feature extraction via
+    mapInPandas (rows-only check: media decode is stubbed by design)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_fake_payload(docs), fake=True)
+
+
+def _pagerank_sql(iters: int = PR_ITERS, n: int = 500, d: float = 0.85) -> str:
+    """Unrolled power iteration as chained CTEs (machine-checkable oracle for
+    the 'iterative, non-SQL-expressible' operator)."""
+    base = f"""
+edges AS (
+  SELECT DISTINCT (user_id % {n}) AS src, (event_id % {n}) AS dst
+  FROM events WHERE (user_id % {n}) <> (event_id % {n})
+),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ids AS (SELECT range AS doc_id FROM range({n})),
+r0 AS (SELECT doc_id, CAST(1.0/{n} AS DOUBLE) AS rank FROM ids)"""
+    levels = [base]
+    for i in range(iters):
+        levels.append(f"""
+d{i} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS dang FROM r{i} r
+  LEFT JOIN outdeg o ON r.doc_id = o.src WHERE o.src IS NULL
+),
+c{i} AS (
+  SELECT e.dst AS doc_id, sum(r.rank / o.deg) AS contrib
+  FROM r{i} r JOIN edges e ON r.doc_id = e.src JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+r{i + 1} AS (
+  SELECT ids.doc_id,
+         (1.0 - {d})/{n} + {d} * (coalesce(c{i}.contrib, 0.0) + d{i}.dang/{n}) AS rank
+  FROM ids LEFT JOIN c{i} ON ids.doc_id = c{i}.doc_id CROSS JOIN d{i}
+)""")
+    return (
+        "WITH " + ",".join(levels)
+        + f"\nSELECT doc_id, CAST(round(rank, 9) AS DOUBLE) AS pagerank FROM r{iters}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_and": q_bm25_topk_and,
@@ -228,6 +434,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_inactive_customers": q_anti_join_inactive_customers,
         "work_queue_fetch": q_work_queue_fetch,
         "filter_lang_minlen": q_filter_lang_minlen,
+        "bm25_wand_and": q_bm25_wand_and,
+        "bm25_wand_or": q_bm25_wand_or,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "text_stats": q_text_stats,
+        "pagerank": q_pagerank,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -295,4 +512,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE lang IN ('en', 'de') AND n_chars > 200
         """,
+        "bm25_wand_and": _bm25_sql(BM25_AND_TERMS, "and"),
+        "bm25_wand_or": _bm25_sql(BM25_OR_TERMS, "or"),
+        "exact_dedup": """
+            SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {_SHINGLES_SQL},
+            sig AS (
+              SELECT doc_id, h.hash_id, min(md5(shingle || ':' || h.hash_id)) AS minhash
+              FROM sh CROSS JOIN (SELECT range AS hash_id FROM range(16)) h
+              GROUP BY doc_id, h.hash_id
+            ),
+            banded AS (
+              SELECT doc_id, band_id, md5(string_agg(minhash, '|' ORDER BY hash_id)) AS band_key
+              FROM (SELECT doc_id, hash_id, minhash, CAST(hash_id // 4 AS INT) AS band_id FROM sig)
+              GROUP BY doc_id, band_id
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_SHINGLES_SQL},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "simhash_fingerprints": f"""
+            WITH toks AS ({TOKS_SQL}),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            h AS (
+              SELECT doc_id, tf, CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS h FROM tf
+            ),
+            votes AS (
+              SELECT doc_id, b.bit,
+                     sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS v
+              FROM h CROSS JOIN (SELECT range AS bit FROM range(60)) b
+              GROUP BY doc_id, b.bit
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "embedding_neardup_pairs": """
+            WITH n AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+              FROM embeddings
+            )
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   CAST(round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS DOUBLE) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.35
+        """,
+        "ann_cosine_topk": f"""
+            WITH q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv,
+                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS qn
+              FROM embeddings WHERE vec_id = {ANN_QUERY_VEC_ID}
+            )
+            SELECT vec_id,
+                   CAST(round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+                        / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * q.qn), 6)
+                        AS DOUBLE) AS cosine
+            FROM embeddings CROSS JOIN q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "text_stats": _TEXT_STATS_SQL,
+        "pagerank": _pagerank_sql(),
+        # multimodal_features: media decode is stubbed (no image libs in env);
+        # driver records the weaker rows-only check by design.
     }

@@ -1,0 +1,38 @@
+"""spark-submit entry point: query a built index.
+
+    spark-submit scripts/search.py --index /path/to/index --query "spark window" [--k 20] [--mode and]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from ucuddle_search_engine_spark.functions.analyze import analyze_query
+from ucuddle_search_engine_spark.plans.build_index import load_searcher
+from ucuddle_search_engine_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--mode", default="and", choices=["and", "or"])
+    args = ap.parse_args()
+
+    spark = get_spark("search")
+    if len(args.query.strip()) < 3:  # length guard (web/app.py:30)
+        print("query too short")
+        return
+    searcher = load_searcher(spark, args.index)
+    terms = analyze_query(args.query)
+    for row in searcher.search_terms(terms, k=args.k, mode=args.mode).collect():
+        print(f"{row['doc_id']}\t{row['score']:.6f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Dedup suite + ANN: exactness checks against brute-force/python ground truth
+on the driver testdata tables."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ucuddle_search_engine_spark.operators.ann import cosine_topk_bruteforce, cosine_topk_lsh
+from ucuddle_search_engine_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_neardup_pairs,
+)
+from ucuddle_search_engine_spark.functions.textstats import text_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def pdocs(docs):
+    return {r["doc_id"]: r["text"] for r in docs.collect()}
+
+
+def _py_shingles(text, n=3):
+    import re
+
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup_counts(docs, pdocs):
+    out = {r["content_md5"]: (r["keep_doc_id"], r["n_dups"]) for r in exact_dedup(docs).collect()}
+    exp = {}
+    for d, t in pdocs.items():
+        h = hashlib.md5(t.encode()).hexdigest()
+        keep, n = exp.get(h, (d, 0))
+        exp[h] = (min(keep, d), n + 1)
+    assert out == exp
+
+
+def test_shingles_match_python(docs, pdocs):
+    got = {}
+    for r in shingles(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for d, t in pdocs.items():
+        exp = _py_shingles(t)
+        assert got.get(d, set()) == exp, f"doc {d}"
+
+
+def test_minhash_matches_python(docs, pdocs):
+    sig = minhash_signatures(shingles(docs), num_hashes=4).collect()
+    got = {(r["doc_id"], r["hash_id"]): r["minhash"] for r in sig}
+    for d, t in list(pdocs.items())[:10]:
+        sh = _py_shingles(t)
+        if not sh:
+            continue
+        for i in range(4):
+            exp = min(hashlib.md5(f"{s}:{i}".encode()).hexdigest() for s in sh)
+            assert got[(d, i)] == exp
+
+
+def test_jaccard_pairs_exact(docs, pdocs):
+    thr = 0.8
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, thr).collect()}
+    ids = sorted(pdocs)
+    exp = {}
+    sh = {d: _py_shingles(t) for d, t in pdocs.items()}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not sh[a] or not sh[b]:
+                continue
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if j >= thr:
+                exp[(a, b)] = round(j, 6)
+    assert set(out) == set(exp)
+    for k in out:
+        assert abs(out[k] - exp[k]) < 1e-6
+
+
+def test_lsh_recall_of_high_jaccard(docs, pdocs):
+    """LSH candidates must contain every pair with very high true Jaccard
+    (16 hashes / 4 bands → ≥1 identical band is near-certain at j≈1)."""
+    cands = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    truth = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, 0.95).collect()}
+    assert truth <= cands
+
+
+def test_simhash_bits_and_neardups(docs, pdocs):
+    vals = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert set(vals) == set(pdocs)
+    assert all(0 <= v < (1 << 60) for v in vals.values())
+    pairs = simhash_neardup_pairs(docs, max_hamming=3).collect()
+    for r in pairs:
+        x = vals[r["doc_a"]] ^ vals[r["doc_b"]]
+        assert bin(x).count("1") == r["hamming"] <= 3
+    # identical docs (if any) must appear with hamming 0
+    by_text = {}
+    for d, t in pdocs.items():
+        by_text.setdefault(t, []).append(d)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for ds in by_text.values():
+        ds = sorted(ds)
+        for i in range(len(ds) - 1):
+            assert (ds[i], ds[i + 1]) in got
+
+
+def test_embedding_neardup_pairs(emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    thr = 0.95
+    out = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in embedding_neardup_pairs(emb, thr).collect()}
+    ids = sorted(vecs)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+            if c >= thr:
+                exp[(a, b)] = c
+    assert set(out) == set(exp)
+    for k, v in out.items():
+        assert abs(v - exp[k]) < 1e-5
+
+
+def test_ann_bruteforce_exact(emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    got = [(r["vec_id"], r["cosine"]) for r in cosine_topk_bruteforce(emb, list(q), k=10).collect()]
+    sims = sorted(
+        ((d, float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))) for d, v in vecs.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [d for d, _ in got] == [d for d, _ in sims]
+    for (_, a), (_, b) in zip(got, sims):
+        assert abs(a - b) < 1e-5
+
+
+def test_ann_lsh_recall(emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    recalls = []
+    for qid in [0, 7, 42]:
+        q = list(vecs[qid])
+        exact = {r["vec_id"] for r in cosine_topk_bruteforce(emb, q, k=10).collect()}
+        approx = {r["vec_id"] for r in cosine_topk_lsh(emb, q, k=10, n_planes=4).collect()}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5  # multiprobe LSH on 64-dim clusters
+
+
+def test_text_stats_shapes(docs, pdocs):
+    out = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    import re
+
+    for d, t in pdocs.items():
+        r = out[d]
+        assert r["n_tokens"] == len(re.findall(r"[a-z0-9]+", t.lower()))
+        assert 0.0 <= r["quality"] <= 1.0
+        assert len(r["fingerprint"]) == 32
+        assert r["lang_pred"] in {"en", "de", "fr", "es", "und"}

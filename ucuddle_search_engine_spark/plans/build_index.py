@@ -1,0 +1,190 @@
+"""Checkpoint-resumable index build with per-partition lineage + metrics.
+
+This is the Spark-side re-creation of the reference's work-queue protocol:
+the ES queue rows carry (link_id, taken, parsed) flags
+(elastic-interaction/elastic_settings.go:106-126), crawlers claim batches
+(task-manager/task_manager.py:54-94 sets taken=true), mark them parsed after
+insert (crawler/main.go:305), and a restart resumes from unparsed rows
+(helper_notes.txt:13-15). Here:
+
+- the corpus is split into WORK UNITS by a deterministic hash of `repo`
+  (pmod(md5-prefix, n_units)) — stable across runs and partition counts;
+- manifest.jsonl rows: (partition_id, input_fingerprint, status, docs, terms,
+  bytes, wall_ms) — `status` ∈ pending|taken|parsed mirrors the reference's
+  boolean pair; the manifest file is committed atomically (tmp + rename);
+- each unit's docs/segments go to their own subdirectory written with
+  overwrite → idempotent commit (a re-run replaces, never duplicates);
+- resume = skip units whose manifest row is parsed AND whose input
+  fingerprint still matches (anti-join semantics of F2/F3).
+
+Work layout per run:
+  pass 0 (global, deterministic): doc-id assignment + per-field collection
+         stats (N, avgdl) — these must be corpus-global for BM25/max_impact,
+         exactly like ES keeps index-level stats; recomputing on resume is
+         safe because the pass is a pure function of the corpus (the reference
+         analogously re-reads its id counter on restart,
+         task-manager/task_manager.py:123-129);
+  per unit: postings → doc stats → compressed segments → parquet append;
+  post:   global term stats (df) derived from the segment store itself
+          (Σ block n per term — a column-pruned parquet scan, no decode).
+
+A killed build rerun produces identical index content to an uninterrupted one
+(tests/test_resume.py). The driver loop iterates unit ids only — O(units).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analyze import tokenize_col
+from ..functions.hashing import md5_prefix_long
+from ..operators.postings import FIELD_CONTENT, FIELD_TITLE, build_docs, build_postings, doc_stats
+from ..operators.segments import build_segments
+from ..operators.wand import SegmentSearcher
+
+
+def _unit_col(n_units: int):
+    return F.pmod(md5_prefix_long("repo"), F.lit(n_units)).cast("int")
+
+
+def _fingerprint(corpus_unit: DataFrame) -> str:
+    """Order-insensitive sha256 of the unit's (repo, path, commit) set."""
+    row = corpus_unit.agg(
+        F.sha2(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws("/", "repo", "path", "commit")))), 256)
+    ).first()
+    return row[0] or "empty"
+
+
+def _global_field_stats(docs: DataFrame) -> DataFrame:
+    """(field, n_docs, avgdl) over the whole corpus — matches
+    operators.postings.collection_stats semantics (docs with ≥1 token)."""
+    content = docs.select(F.lit(FIELD_CONTENT).alias("field"), F.col("doclen"))
+    title = docs.select(F.lit(FIELD_TITLE).alias("field"), F.size(tokenize_col("title")).cast("long").alias("doclen"))
+    return (
+        content.unionByName(title)
+        .filter(F.col("doclen") > 0)
+        .groupBy("field")
+        .agg(F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl"))
+    )
+
+
+class BuildManifest:
+    def __init__(self, path: str):
+        self.path = path
+        self.rows: dict[int, dict] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    r = json.loads(line)
+                    self.rows[r["partition_id"]] = r
+
+    def status(self, pid: int) -> str:
+        return self.rows.get(pid, {}).get("status", "pending")
+
+    def fingerprint(self, pid: int) -> str | None:
+        return self.rows.get(pid, {}).get("input_fingerprint")
+
+    def mark(self, pid: int, **kw) -> None:
+        row = self.rows.get(pid, {"partition_id": pid})
+        row.update(kw)
+        self.rows[pid] = row
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            for r in sorted(self.rows.values(), key=lambda x: x["partition_id"]):
+                f.write(json.dumps(r) + "\n")
+        os.replace(tmp, self.path)  # atomic manifest commit
+
+
+def build_index_resumable(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    n_units: int = 8,
+    num_shards: int = 3,
+    block_size: int = 128,
+    fail_after_units: int | None = None,
+) -> dict:
+    """Build docs + segments + stats under out_dir, unit by unit, resumably.
+
+    fail_after_units simulates a mid-build crash (tests). Returns metrics.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = BuildManifest(os.path.join(out_dir, "manifest.jsonl"))
+
+    # pass 0: global deterministic ids + collection stats
+    docs = build_docs(corpus, num_shards=num_shards).withColumn("_unit", _unit_col(n_units)).persist()
+    cstats = _global_field_stats(docs).persist()
+    cstats.count()
+
+    done = 0
+    t0 = time.time()
+    for pid in range(n_units):
+        docs_u = docs.filter(F.col("_unit") == pid).drop("_unit")
+        fp = _fingerprint(docs_u.select("repo", "path", "commit"))
+        if manifest.status(pid) == "parsed" and manifest.fingerprint(pid) == fp:
+            continue  # resume: already built and input unchanged
+        if fail_after_units is not None and done >= fail_after_units:
+            docs.unpersist()
+            cstats.unpersist()
+            return {"completed_units": done, "crashed": True, "wall_s": time.time() - t0}
+        manifest.mark(pid, input_fingerprint=fp, status="taken")
+        t1 = time.time()
+        postings_u = build_postings(docs_u)
+        dstats_u = doc_stats(postings_u)
+        segs = build_segments(postings_u, dstats_u, cstats, num_shards=num_shards, block_size=block_size)
+        docs_path = os.path.join(out_dir, f"docs/unit={pid}")
+        seg_path = os.path.join(out_dir, f"segments/unit={pid}")
+        docs_u.drop("content").write.mode("overwrite").parquet(docs_path)
+        segs.write.mode("overwrite").parquet(seg_path)
+        n_docs = docs_u.count()
+        n_terms = spark.read.parquet(seg_path).select("term").distinct().count()
+        n_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for p in (docs_path, seg_path)
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+        manifest.mark(
+            pid,
+            status="parsed",
+            docs=n_docs,
+            terms=n_terms,
+            bytes=n_bytes,
+            wall_ms=int((time.time() - t1) * 1000),
+        )
+        done += 1
+
+    # post pass: global term stats from the segment store (column-pruned scan)
+    segs_all = spark.read.parquet(os.path.join(out_dir, "segments"))
+    tstats = segs_all.groupBy("term", "field").agg(F.sum("n").alias("df"))
+    tstats.write.mode("overwrite").parquet(os.path.join(out_dir, "tstats"))
+    cstats.toPandas().to_json(os.path.join(out_dir, "cstats.json"), orient="records")
+
+    n_total = docs.count()
+    docs.unpersist()
+    cstats.unpersist()
+    stats = {
+        "n_docs": n_total,
+        "completed_units": done,
+        "crashed": False,
+        "wall_s": time.time() - t0,
+    }
+    with open(os.path.join(out_dir, "build_stats.json"), "w") as f:
+        json.dump(stats, f)
+    return stats
+
+
+def load_searcher(spark: SparkSession, out_dir: str, boosts: dict[int, float] | None = None) -> SegmentSearcher:
+    """Open a written index for querying."""
+    import pandas as pd
+
+    segments = spark.read.parquet(os.path.join(out_dir, "segments"))
+    tstats = spark.read.parquet(os.path.join(out_dir, "tstats"))
+    cs = pd.read_json(os.path.join(out_dir, "cstats.json"))
+    cstats = spark.createDataFrame(cs)
+    return SegmentSearcher(segments, tstats, cstats, boosts=boosts)

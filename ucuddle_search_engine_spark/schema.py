@@ -66,8 +66,8 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("max_doc", T.LongType(), False),
         T.StructField("doc_bytes", T.BinaryType(), False),   # delta+varbyte doc ids
         T.StructField("tf_bytes", T.BinaryType(), False),    # varbyte tfs
+        T.StructField("dl_bytes", T.BinaryType(), False),    # varbyte per-doc field lengths
         T.StructField("max_tf", T.LongType(), False),
-        T.StructField("min_doclen_for_max_tf", T.LongType(), False),
         T.StructField("max_impact", T.DoubleType(), False),  # block-max BM25 tf-norm bound (idf excluded)
     ]
 )
