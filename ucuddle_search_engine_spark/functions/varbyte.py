@@ -20,11 +20,13 @@ import numpy as np
 _MAX_BYTES = 10  # 63-bit values need at most ceil(63/7) = 9; 10 is safe for uint64
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Varbyte-encode a 1-D array of non-negative ints."""
+def vb_encode_with_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Varbyte-encode a 1-D array; returns (uint8 buffer, per-value offsets of
+    length n+1) so callers can slice out contiguous value ranges (blocks)
+    without re-encoding — the whole-partition vectorized path."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     # bytes needed per value: ceil(bitlen/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -44,6 +46,12 @@ def vb_encode(values: np.ndarray) -> bytes:
         buf[idx] = group.astype(np.uint8)
     # continuation: set 0x80 on the last byte of each value
     buf[offsets[1:] - 1] |= 0x80
+    return buf, offsets
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a 1-D array of non-negative ints."""
+    buf, _ = vb_encode_with_offsets(values)
     return buf.tobytes()
 
 

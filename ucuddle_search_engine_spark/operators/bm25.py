@@ -132,14 +132,24 @@ class InvertedIndex:
             .limit(k)
         )
 
-    def search(self, query: str, k: int = 20, mode: str = "and") -> DataFrame:
+    def search(self, query: str, k: int = 20, mode: str = "and", highlight: bool = False) -> DataFrame:
         """Full read path: analyze query with the SAME analyzer (K5 parity,
         crawler/functs_with_elastic.go:85-94), score, top-k, then broadcast-join
         display fields (J3: k rows ⇒ broadcast, web/elastic_interaction.py:80-99).
+        With highlight=True, adds the bolded snippet (C7) and capitalized title
+        (C6) the reference's frontend renders.
         """
         terms = analyze_query(query)
         if len(query.strip()) < 3 or not terms:  # length guard, web/app.py:30-31
             return self.docs.sparkSession.createDataFrame([], "doc_id long, score double")
         topk = self.search_terms(terms, k=k, mode=mode)
         display = self.docs.drop("content")
-        return F.broadcast(topk).join(display, "doc_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        out = F.broadcast(topk).join(display, "doc_id")
+        if highlight:
+            from .highlight import capitalize_title, highlight_hits
+
+            snip = highlight_hits(topk, self.docs, self.postings, terms).select("doc_id", "snippet")
+            out = out.join(F.broadcast(snip), "doc_id", "left")
+            if "title" in out.columns:
+                out = out.withColumn("title", capitalize_title("title"))
+        return out.orderBy(F.col("score").desc(), F.col("doc_id").asc())

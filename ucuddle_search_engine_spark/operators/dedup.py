@@ -46,9 +46,23 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def shingle_set_col(toks_col, n: int = DEFAULT_SHINGLE) -> "F.Column":
+    """Distinct n-token shingles of a token-array column as a pure array
+    expression — no explode, no shuffle."""
+    return F.array_distinct(
+        F.when(
+            F.size(toks_col) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks_col) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks_col, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE) -> DataFrame:
-    """Distinct n-token shingles per doc, built with JVM array ops:
-    transform(sequence(...)) → slice → concat_ws."""
+    """Distinct n-token shingles per doc in relational (exploded) form —
+    feeds the inverted-index self-join of ngram_jaccard_pairs."""
     toks = tokenize_terms(df, text_col)
     sh = F.when(
         F.size("_toks") >= n,
@@ -57,28 +71,38 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
             lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        toks.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
-    )
+    return toks.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = DEFAULT_HASHES) -> DataFrame:
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       num_hashes: int = DEFAULT_HASHES) -> DataFrame:
     """(doc_id, hash_id, minhash): minhash_i = min over shingles of
     md5(shingle || ':' || i) — hex-string min, portable to the SQL oracle.
-    The hash-family fan-out is a broadcast range join (num_hashes rows)."""
-    spark = sh.sparkSession
-    hid = F.broadcast(spark.range(num_hashes).select(F.col("id").cast("int").alias("hash_id")))
-    return (
-        sh.crossJoin(hid)
-        .select(
-            "doc_id",
-            "hash_id",
-            F.md5(F.concat_ws(":", F.col("shingle"), F.col("hash_id"))).alias("h"),
-        )
-        .groupBy("doc_id", "hash_id")
-        .agg(F.min("h").alias("minhash"))
+    Relational view over minhash_signature_arrays (shuffle-free)."""
+    arrays = minhash_signature_arrays(df, id_col, text_col, num_hashes)
+    return arrays.select("doc_id", F.posexplode("minhashes").alias("hash_id", "minhash"))
+
+
+def minhash_signature_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_HASHES,
+) -> DataFrame:
+    """(doc_id, minhashes array<string>) as ONE shuffle-free projection:
+    tokens → distinct shingles → per-hash array_min of md5 — the num_hashes×
+    fan-out lives inside the expression tree, never in the shuffle."""
+    toks = tokenize_terms(df, text_col)
+    per_doc = toks.select(
+        F.col(id_col).alias("doc_id"), shingle_set_col(F.col("_toks"), DEFAULT_SHINGLE).alias("sset")
     )
+    minhashes = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("sset"), lambda s: F.md5(F.concat_ws(":", s, i.cast("string"))))
+        ),
+    )
+    return per_doc.filter(F.size("sset") > 0).select("doc_id", minhashes.alias("minhashes"))
 
 
 def lsh_candidate_pairs(
@@ -96,25 +120,15 @@ def lsh_candidate_pairs(
     all-pairs. Hot buckets (boilerplate docs) are the skew point; AQE skew-join
     splitting plus the band-key's md5 spread keep tasks bounded.
     """
-    sig = minhash_signatures(shingles(df, id_col, text_col, shingle_n), num_hashes)
+    sig = minhash_signature_arrays(df, id_col, text_col, num_hashes)
     rows_per_band = num_hashes // bands
     # band key = md5 of the band's minhashes concatenated in hash_id order
-    # (struct sort → numeric order; mirrors ORDER BY hash_id in the SQL oracle)
-    banded = (
-        sig.withColumn("band_id", (F.col("hash_id") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("hash_id", "minhash"))),
-                        lambda s: s["minhash"],
-                    ),
-                )
-            ).alias("band_key")
-        )
+    # (array slice preserves order; mirrors ORDER BY hash_id in the SQL oracle)
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(F.concat_ws("|", F.slice("minhashes", b * rows_per_band + F.lit(1), rows_per_band))),
     )
+    banded = sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -23,6 +23,62 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def assign_doc_ids_hash(df: DataFrame, key_cols: list[str], num_buckets: int = 4096,
+                        num_partitions: int | None = None) -> DataFrame:
+    """Cheapest deterministic scheme: ids are dense within md5-hash buckets.
+
+    - bucket = pmod(md5-prefix(key), B) — portable, layout-independent;
+    - bucket counts from a COLUMN-PRUNED scan of the keys only (collect of ≤B
+      longs), exclusive prefix-sum on the driver;
+    - one shuffle co-locating each bucket, keys sorted within it, id =
+      offset[bucket] + rank-in-bucket via a running per-bucket counter across
+      Arrow batches (no second shuffle, no carry buffer).
+
+    Ids are unique, stable across runs/partitionings/cluster sizes, but NOT the
+    global lexicographic rank (use assign_doc_ids_prefix for that)."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_prefix_long
+
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    bucket = F.pmod(md5_prefix_long(F.concat_ws("\x00", *key_cols)), F.lit(num_buckets)).cast("int")
+    counts = {
+        r["_b"]: r["cnt"]
+        for r in df.select(bucket.alias("_b")).groupBy("_b").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    boffsets = df.sparkSession.sparkContext.broadcast(offsets)
+
+    parted = (
+        df.withColumn("_b", bucket)
+        .repartition(num_partitions, "_b")
+        .sortWithinPartitions("_b", *key_cols)
+    )
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in parted.schema.fields) + ", doc_id long"
+
+    def add_ids(batches):
+        seen: dict[int, int] = {}
+        offs = boffsets.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bs = pdf["_b"].to_numpy()
+            local = pd.Series(bs).groupby(bs).cumcount().to_numpy()
+            base = pd.Series(bs).map(lambda b: offs.get(int(b), 0) + seen.get(int(b), 0)).to_numpy()
+            pdf = pdf.copy()
+            pdf["doc_id"] = base + local
+            for b, c in pd.Series(bs).value_counts().items():
+                seen[int(b)] = seen.get(int(b), 0) + int(c)
+            yield pdf
+
+    return parted.mapInPandas(add_ids, schema=out_schema).drop("_b")
+
+
 def assign_doc_ids_sort(df: DataFrame, order_cols: list[str]) -> DataFrame:
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn("doc_id", F.row_number().over(w).cast("long") - F.lit(1).cast("long"))
@@ -39,9 +95,13 @@ def assign_doc_ids_prefix(df: DataFrame, order_cols: list[str], num_partitions: 
 
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(*order_cols)
-    with_pid = parted.withColumn("_pid", F.spark_partition_id())
-    counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    parted = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    parted = parted.persist()
+    counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -49,16 +109,19 @@ def assign_doc_ids_prefix(df: DataFrame, order_cols: list[str], num_partitions: 
         acc += counts[pid]
     boffsets = df.sparkSession.sparkContext.broadcast(offsets)
 
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in with_pid.schema.fields) + ", doc_id long"
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in parted.schema.fields) + ", doc_id long"
 
-    def add_ids(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pdf.assign(doc_id=pd.Series([], dtype="int64"))
-        pid = int(pdf["_pid"].iloc[0])
-        base = boffsets.value.get(pid, 0)
-        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        pdf["doc_id"] = base + pdf.index
-        return pdf
+    def add_ids(batches) -> "pd.DataFrame":
+        # one call per partition; rows arrive pre-sorted, so a running offset
+        # across Arrow batches yields the partition-local rank — no 2nd shuffle
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = boffsets.value.get(int(pdf["_pid"].iloc[0]), 0)
+            pdf = pdf.copy()
+            pdf["doc_id"] = base + seen + pd.RangeIndex(len(pdf))
+            seen += len(pdf)
+            yield pdf
 
-    # group by partition id: each group is exactly one range partition
-    return with_pid.groupBy("_pid").applyInPandas(add_ids, schema=out_schema).drop("_pid")
+    return parted.mapInPandas(add_ids, schema=out_schema).drop("_pid")

@@ -24,13 +24,19 @@ from pyspark.sql import functions as F
 
 from ..functions.analyze import tokenize_col
 from ..functions.hashing import sha256_col
-from .ids import assign_doc_ids_prefix, assign_doc_ids_sort
+from .ids import assign_doc_ids_hash, assign_doc_ids_prefix, assign_doc_ids_sort
 
 FIELD_CONTENT = 0
 FIELD_TITLE = 1
 
+_ID_MODES = {
+    "sort": assign_doc_ids_sort,       # exact dense rank; single-task sort (test scale)
+    "prefix": assign_doc_ids_prefix,   # dense rank via range partitions (scale, rank-preserving)
+    "hash": assign_doc_ids_hash,       # bucket-dense ids (scale, cheapest; not rank-ordered)
+}
 
-def build_docs(corpus: DataFrame, num_shards: int = 3, scale_ids: bool = False) -> DataFrame:
+
+def build_docs(corpus: DataFrame, num_shards: int = 3, scale_ids: bool | str = False) -> DataFrame:
     """Corpus (repo, path, commit, lang, content) → docs table.
 
     - doc_id: deterministic dense rank over (repo, path) — replaces the
@@ -43,7 +49,10 @@ def build_docs(corpus: DataFrame, num_shards: int = 3, scale_ids: bool = False) 
       (crawler/functs_with_elastic.go:75). Queries fan out per shard and merge
       top-k, exactly ES scatter-gather.
     """
-    assign = assign_doc_ids_prefix if scale_ids else assign_doc_ids_sort
+    if isinstance(scale_ids, str):
+        assign = _ID_MODES[scale_ids]
+    else:
+        assign = assign_doc_ids_prefix if scale_ids else assign_doc_ids_sort
     docs = assign(corpus, ["repo", "path"])
     first_line = F.trim(F.substring_index(F.col("content"), "\n", 1))
     basename = F.element_at(F.split(F.col("path"), "/"), -1)
@@ -89,6 +98,64 @@ def build_postings(docs: DataFrame, fields: dict[int, str] | None = None, id_col
                 F.col("tf").cast("long").alias("tf"),
                 "positions",
             )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_postings_fast(docs: DataFrame, fields: dict[int, str] | None = None, id_col: str = "doc_id") -> DataFrame:
+    """Shuffle-free postings: per-doc term vectors from the Arrow analyzer UDF,
+    exploded (narrow) — identical rows to build_postings (tested), but the
+    (term, doc_id) aggregation happens inside each document instead of in a
+    cluster-wide groupBy. With doclen emitted alongside, the index build's only
+    wide exchange is the final repartition by (shard, term)."""
+    from ..functions.analyze import termvector_udf
+
+    if fields is None:
+        fields = {FIELD_CONTENT: "content", FIELD_TITLE: "title"}
+    parts = []
+    for field_id, col in fields.items():
+        tv = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(termvector_udf(F.col(col))).alias("p"),
+        )
+        parts.append(
+            tv.select(
+                F.col("p.term").alias("term"),
+                "doc_id",
+                F.lit(field_id).cast("int").alias("field"),
+                F.col("p.tf").alias("tf"),
+                F.col("p.positions").alias("positions"),
+                F.col("p.doclen").alias("doclen"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def doclens_from_docs(docs: DataFrame, fields: dict[int, str] | None = None, id_col: str = "doc_id") -> DataFrame:
+    """doc_stats straight from the docs table (one cheap projection instead of
+    re-aggregating the exploded postings): doclen(field) = token count. Uses
+    the precomputed docs.doclen column for the content field when present —
+    no content re-tokenize."""
+    if fields is None:
+        fields = {FIELD_CONTENT: "content", FIELD_TITLE: "title"}
+    parts = []
+    for field_id, col in fields.items():
+        if field_id == FIELD_CONTENT and "doclen" in docs.columns:
+            dl = F.col("doclen")
+        else:
+            dl = F.size(tokenize_col(col)).cast("long")
+        parts.append(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.lit(field_id).cast("int").alias("field"),
+                dl.alias("doclen"),
+            ).filter(F.col("doclen") > 0)
         )
     out = parts[0]
     for p in parts[1:]:

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.varbyte import decode_doc_ids, encode_doc_ids, vb_decode, vb_encode
+from ..functions.varbyte import decode_doc_ids, vb_decode, vb_encode_with_offsets
 from .bm25 import B, K1
 
 DEFAULT_BLOCK = 128
@@ -43,81 +43,114 @@ SEGMENT_COLS = (
 
 def build_segments(
     postings: DataFrame,
-    dstats: DataFrame,
+    dstats: DataFrame | None,
     cstats: DataFrame,
     num_shards: int = 3,
     block_size: int = DEFAULT_BLOCK,
 ) -> DataFrame:
-    """postings (term, doc_id, field, tf) → compressed block rows.
+    """postings (term, doc_id, field, tf[, doclen]) → compressed block rows.
 
     avgdl/doclen are folded in at build time so each block row carries its own
     exact max_impact (tf_norm is monotone ↑ in tf and ↓ in doclen, but we take
     the max over the *actual* per-posting tf_norm — a tight bound).
+
+    If postings already carry doclen (build_postings_fast), the doc-stats join
+    is skipped entirely — the build is scan → analyze → ONE shuffle → encode.
     """
+    if "doclen" in postings.columns:
+        enriched = postings.join(F.broadcast(cstats), ["field"])
+    else:
+        enriched = postings.join(dstats, ["doc_id", "field"]).join(F.broadcast(cstats), ["field"])
+    # chunk = doc range slice: bounds any (shard, term) group to ≤ CHUNK_SPAN
+    # postings (head-term guard at any shard count) while keeping chunk doc
+    # ranges disjoint and increasing, so block_no = chunk·bpc + local stays a
+    # doc-ordered chain per (shard, term)
+    blocks_per_chunk = 512
+    chunk_span = block_size * blocks_per_chunk
     enriched = (
-        postings.join(dstats, ["doc_id", "field"])
-        .join(F.broadcast(cstats), ["field"])
-        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(num_shards)).cast("int"))
-        .select("shard", "term", "field", "doc_id", "tf", "doclen", "avgdl")
+        enriched.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(num_shards)).cast("int"))
+        .withColumn("chunk", (F.col("doc_id") / F.lit(chunk_span)).cast("long"))
+        .select("shard", "term", "field", "chunk", "doc_id", "tf", "doclen", "avgdl")
     )
 
-    seg_columns = [
-        "shard", "term", "field", "block_no", "n", "min_doc", "max_doc",
-        "doc_bytes", "tf_bytes", "dl_bytes", "max_tf", "max_impact",
-    ]
-
-    def encode_group(shard, term, fld, g: pd.DataFrame, out: list) -> None:
-        docs = g["doc_id"].to_numpy(np.int64)
-        tfs = g["tf"].to_numpy(np.int64)
-        dls = g["doclen"].to_numpy(np.int64)
-        avgdl = float(g["avgdl"].iloc[0])
-        impacts = tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
-        for b, start in enumerate(range(0, len(docs), block_size)):
-            sl = slice(start, start + block_size)
-            d, t, L, imp = docs[sl], tfs[sl], dls[sl], impacts[sl]
-            out.append(
-                (
-                    int(shard), term, int(fld), b, len(d), int(d[0]), int(d[-1]),
-                    encode_doc_ids(d.astype(np.uint64)),
-                    vb_encode(t.astype(np.uint64)),
-                    vb_encode(L.astype(np.uint64)),
-                    int(t.max()), float(imp.max()),
-                )
-            )
+    # ONE exchange, map-side combined: partial collect_list packs each input
+    # partition's postings for a (shard, term, field, chunk) group into arrays
+    # BEFORE the shuffle, so the exchange moves array rows (≈ #groups), not
+    # 10^8 scalar rows, and no cluster sort is needed at all — ordering happens
+    # vectorized in numpy inside the encoder.
+    grouped = (
+        enriched.groupBy("shard", "term", "field", "chunk")
+        .agg(
+            F.collect_list(F.struct("doc_id", "tf", "doclen")).alias("pl"),
+            F.first("avgdl").alias("avgdl"),
+        )
+        .select(
+            "shard", "term", "field", "chunk", "avgdl",
+            F.col("pl.doc_id").alias("docs"),
+            F.col("pl.tf").alias("tfs"),
+            F.col("pl.doclen").alias("dls"),
+        )
+    )
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Input is sorted by (shard, term, field, doc_id) within the partition,
-        # but Arrow batches can split a group — buffer the trailing group and
-        # carry it into the next batch.
-        carry: pd.DataFrame | None = None
+        """Vectorized encoder over chunk-group rows (a group NEVER spans rows,
+        so no carry buffering): flatten all groups in the batch into value
+        arrays, numpy-sort within groups, derive block boundaries, run ONE
+        varbyte pass per stream, slice per block. The only Python loop is the
+        per-block byte slice — O(#blocks)."""
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            last_key = tuple(pdf.iloc[-1][["shard", "term", "field"]])
-            out: list = []
-            carry_next = None
-            for key, g in pdf.groupby(["shard", "term", "field"], sort=False):
-                if key == last_key:
-                    carry_next = g  # may continue in the next batch
-                else:
-                    encode_group(*key, g, out)
-            carry = carry_next
-            if out:
-                yield pd.DataFrame(out, columns=seg_columns)
-        if carry is not None and len(carry):
-            out = []
-            key = tuple(carry.iloc[0][["shard", "term", "field"]])
-            encode_group(*key, carry, out)
-            yield pd.DataFrame(out, columns=seg_columns)
+            lens = np.fromiter((len(x) for x in pdf["docs"]), dtype=np.int64, count=len(pdf))
+            n = int(lens.sum())
+            if n == 0:
+                continue
+            row_of = np.repeat(np.arange(len(pdf)), lens)
+            docs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["docs"]])
+            tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["tfs"]])
+            dls = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["dls"]])
+            order = np.lexsort((docs, row_of))  # doc-sort within each group
+            docs, tfs, dls, row_of = docs[order], tfs[order], dls[order], row_of[order]
+            avgdl = pdf["avgdl"].to_numpy(np.float64)[row_of]
+            impacts = tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
 
-    # one shuffle keyed (shard, term): all blocks of a (shard, term) live in one
-    # partition; sortWithinPartitions makes groups contiguous and doc-ordered
-    parted = enriched.repartition("shard", "term").sortWithinPartitions(
-        "shard", "term", "field", "doc_id"
-    )
-    return parted.mapInPandas(encode, schema=SEGMENT_COLS)
+            gstarts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos_in_group = np.arange(n) - np.repeat(gstarts, lens)
+            block_in_group = pos_in_group // block_size
+            blk_change = np.empty(n, dtype=bool)
+            blk_change[0] = True
+            blk_change[1:] = (row_of[1:] != row_of[:-1]) | (block_in_group[1:] != block_in_group[:-1])
+            bstarts = np.flatnonzero(blk_change)
+            bends = np.append(bstarts[1:], n)  # exclusive
+
+            deltas = docs.copy()
+            deltas[1:] -= docs[:-1]
+            deltas[bstarts] = docs[bstarts]  # absolute restart → self-contained blocks
+            dbuf, doffs = vb_encode_with_offsets(deltas.astype(np.uint64))
+            tbuf, toffs = vb_encode_with_offsets(tfs.astype(np.uint64))
+            lbuf, loffs = vb_encode_with_offsets(dls.astype(np.uint64))
+            dmem, tmem, lmem = dbuf.tobytes(), tbuf.tobytes(), lbuf.tobytes()
+
+            brow = row_of[bstarts]
+            chunk = pdf["chunk"].to_numpy(np.int64)[brow]
+            yield pd.DataFrame(
+                {
+                    "shard": pdf["shard"].to_numpy(np.int32)[brow],
+                    "term": pdf["term"].to_numpy(object)[brow],
+                    "field": pdf["field"].to_numpy(np.int32)[brow],
+                    "block_no": (chunk * blocks_per_chunk + block_in_group[bstarts]).astype(np.int32),
+                    "n": (bends - bstarts).astype(np.int32),
+                    "min_doc": docs[bstarts],
+                    "max_doc": docs[bends - 1],
+                    "doc_bytes": [dmem[doffs[s]:doffs[e]] for s, e in zip(bstarts, bends)],
+                    "tf_bytes": [tmem[toffs[s]:toffs[e]] for s, e in zip(bstarts, bends)],
+                    "dl_bytes": [lmem[loffs[s]:loffs[e]] for s, e in zip(bstarts, bends)],
+                    "max_tf": np.maximum.reduceat(tfs, bstarts),
+                    "max_impact": np.maximum.reduceat(impacts, bstarts),
+                }
+            )
+
+    return grouped.mapInPandas(encode, schema=SEGMENT_COLS)
 
 
 def write_segments(segments: DataFrame, path: str) -> None:

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..functions.analyze import tokenize_col
 from ..functions.hashing import md5_prefix_long
-from ..operators.postings import FIELD_CONTENT, FIELD_TITLE, build_docs, build_postings, doc_stats
+from ..operators.postings import FIELD_CONTENT, FIELD_TITLE, build_docs, build_postings_fast
 from ..operators.segments import build_segments
 from ..operators.wand import SegmentSearcher
 
@@ -134,9 +134,10 @@ def build_index_resumable(
             return {"completed_units": done, "crashed": True, "wall_s": time.time() - t0}
         manifest.mark(pid, input_fingerprint=fp, status="taken")
         t1 = time.time()
-        postings_u = build_postings(docs_u)
-        dstats_u = doc_stats(postings_u)
-        segs = build_segments(postings_u, dstats_u, cstats, num_shards=num_shards, block_size=block_size)
+        # fast path: per-doc termvectors carry doclen → scan → analyze →
+        # one map-side-combined shuffle → encode (see operators/segments.py)
+        postings_u = build_postings_fast(docs_u)
+        segs = build_segments(postings_u, None, cstats, num_shards=num_shards, block_size=block_size)
         docs_path = os.path.join(out_dir, f"docs/unit={pid}")
         seg_path = os.path.join(out_dir, f"segments/unit={pid}")
         docs_u.drop("content").write.mode("overwrite").parquet(docs_path)

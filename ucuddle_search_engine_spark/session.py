@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # local-mode shuffle goes through spark.local.dir; a tmpfs removes disk
+    # contention from shuffle-heavy stages (cluster deployments get this from
+    # NVMe-backed local dirs / external shuffle service)
+    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+        shm = "/dev/shm/spark_local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
