@@ -353,6 +353,19 @@ def q_text_stats(spark, sf_dir):
     return text_stats(load_table(spark, sf_dir, "documents"))
 
 
+PHRASE = ["spark", "window"]
+
+
+def q_phrase_match(spark, sf_dir):
+    """Exact phrase occurrence count per doc from stored token positions
+    (positions kept per schema K6; ES's quoted-query capability)."""
+    from ucuddle_search_engine_spark.operators.phrase import phrase_match
+
+    documents = load_table(spark, sf_dir, "documents")
+    idx = InvertedIndex.from_documents_table(documents)
+    return phrase_match(idx.postings, PHRASE)
+
+
 PR_ITERS = 5
 
 
@@ -419,6 +432,21 @@ r{i + 1} AS (
     )
 
 
+def q_json_extract_props(spark, sf_dir):
+    """C8: JSON decode at the API edge (from_json) — per-event-type stats of
+    the props payload (jsonpickle/json.Marshal analogue)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_type", F.from_json("props", "k int").alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("p.k")), 6).alias("avg_k"),
+            F.max(F.col("p.k")).alias("max_k"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_and": q_bm25_topk_and,
@@ -445,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "pagerank": q_pagerank,
         "multimodal_features": q_multimodal_features,
+        "phrase_match": q_phrase_match,
+        "json_extract_props": q_json_extract_props,
     }
 
 
@@ -591,6 +621,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": _TEXT_STATS_SQL,
         "pagerank": _pagerank_sql(),
+        "phrase_match": f"""
+            WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t FROM documents),
+            tp AS (
+              SELECT doc_id, u.term AS term, u.pos AS pos FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(t)), i -> {{'term': t[i+1], 'pos': i}})) AS u
+                FROM t0
+              )
+            )
+            SELECT a.doc_id, count(*) AS phrase_tf
+            FROM tp a JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+            GROUP BY a.doc_id
+        """,
+        "json_extract_props": """
+            SELECT event_type, count(*) AS n,
+                   CAST(round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS DOUBLE) AS avg_k,
+                   max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
         # multimodal_features: media decode is stubbed (no image libs in env);
         # driver records the weaker rows-only check by design.
     }

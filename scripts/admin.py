@@ -1,0 +1,75 @@
+"""Admin console — the reference's interactive maintenance menu
+(elastic-interaction/main.go:153-310: index/search/delete/last-id/mapping/
+drop) re-expressed over the parquet index store.
+
+    python scripts/admin.py describe --index DIR
+    python scripts/admin.py last-id --index DIR [--n 5]
+    python scripts/admin.py search --index DIR --query "..." [--k 10] [--mode and]
+    python scripts/admin.py delete-docs --index DIR --ids 1,2,3
+    python scripts/admin.py drop --index DIR
+
+With an Iceberg catalog these become DDL (DELETE FROM / DROP TABLE); on plain
+parquet, delete-docs rewrites the docs dataset minus the ids (the segment
+store keeps the postings until the next rebuild — ES likewise soft-deletes
+until merge).
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from ucuddle_search_engine_spark.functions.analyze import analyze_query
+from ucuddle_search_engine_spark.plans.build_index import load_searcher
+from ucuddle_search_engine_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["describe", "last-id", "search", "delete-docs", "drop"])
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query")
+    ap.add_argument("--ids")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--n", type=int, default=1)
+    ap.add_argument("--mode", default="and", choices=["and", "or"])
+    args = ap.parse_args()
+
+    if args.cmd == "drop":  # deleteIndexes (elastic_CRUD.go:185-192)
+        shutil.rmtree(args.index)
+        print(f"dropped {args.index}")
+        return
+
+    spark = get_spark("admin")
+    docs = spark.read.parquet(f"{args.index}/docs")
+
+    if args.cmd == "describe":  # getIndexMapping (elastic_settings.go:94-101)
+        docs.printSchema()
+        segs = spark.read.parquet(f"{args.index}/segments")
+        print(f"docs={docs.count()} segment_blocks={segs.count()} "
+              f"shards={segs.select('shard').distinct().count()}")
+    elif args.cmd == "last-id":  # last-id probe (elastic-interaction/main.go:111-151)
+        for row in docs.orderBy(F.col("doc_id").desc()).limit(args.n).collect():
+            print(row["doc_id"], row["repo"], row["path"])
+    elif args.cmd == "search":  # searching (elastic_CRUD.go:71-139)
+        searcher = load_searcher(spark, args.index)
+        for row in searcher.search_terms(analyze_query(args.query), k=args.k, mode=args.mode).collect():
+            print(f"{row['doc_id']}\t{row['score']:.6f}")
+    elif args.cmd == "delete-docs":  # deleting (elastic_CRUD.go:141-183)
+        ids = [int(x) for x in args.ids.split(",")]
+        kept = docs.filter(~F.col("doc_id").isin(ids))
+        tmp = f"{args.index}/docs_tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(f"{args.index}/docs")
+        Path(tmp).rename(f"{args.index}/docs")
+        print(f"deleted {len(ids)} docs")
+
+
+if __name__ == "__main__":
+    main()

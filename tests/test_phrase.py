@@ -1,0 +1,48 @@
+"""Phrase matching from stored positions vs a pure-python oracle."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ucuddle_search_engine_spark.operators.bm25 import InvertedIndex
+from ucuddle_search_engine_spark.operators.phrase import phrase_match, phrase_search
+
+
+@pytest.fixture(scope="module")
+def idx(documents):
+    return InvertedIndex.from_documents_table(documents).persist()
+
+
+@pytest.fixture(scope="module")
+def doc_texts(documents):
+    return {r["doc_id"]: r["text"] for r in documents.collect()}
+
+
+def _py_phrase_tf(text, phrase):
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    n = len(phrase)
+    return sum(1 for i in range(len(toks) - n + 1) if toks[i : i + n] == phrase)
+
+
+@pytest.mark.parametrize("phrase", [["spark", "window"], ["table", "table"], ["a", "the", "line"]])
+def test_phrase_match_oracle(idx, doc_texts, phrase):
+    got = {r["doc_id"]: r["phrase_tf"] for r in phrase_match(idx.postings, phrase).collect()}
+    exp = {d: c for d, t in doc_texts.items() if (c := _py_phrase_tf(t, phrase)) > 0}
+    assert got == exp
+
+
+def test_phrase_absent(idx):
+    assert phrase_match(idx.postings, ["zz9absent", "table"]).count() == 0
+
+
+def test_phrase_search_scored(idx, doc_texts):
+    phrase = ["spark", "window"]
+    out = phrase_search(idx.postings, idx.dstats, idx.cstats, phrase, k=5).collect()
+    assert 0 < len(out) <= 5
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # top doc really contains the phrase
+    assert _py_phrase_tf(doc_texts[out[0]["doc_id"]], phrase) > 0

@@ -111,8 +111,13 @@ def _exact(idx, terms, mode, k=10):
     return [(r["doc_id"], r["score"]) for r in idx.search_terms(terms, k=k, mode=mode).collect()]
 
 
-def _wand(searcher, terms, mode, k=10):
-    return [(r["doc_id"], r["score"]) for r in searcher.search_terms(terms, k=k, mode=mode).collect()]
+def _wand(searcher, terms, mode, k=10, algorithm="wand"):
+    """Default algorithm='wand' so the pruning loop itself is what's tested;
+    the auto/exact path is asserted separately."""
+    return [
+        (r["doc_id"], r["score"])
+        for r in searcher.search_terms(terms, k=k, mode=mode, algorithm=algorithm).collect()
+    ]
 
 
 def _assert_same(a, b, terms, mode):
@@ -123,8 +128,12 @@ def _assert_same(a, b, terms, mode):
 
 def test_wand_head_terms(idx, searcher):
     for mode in ("or", "and"):
-        _assert_same(_exact(idx, QUERY_TERMS_HEAD, mode), _wand(searcher, QUERY_TERMS_HEAD, mode),
-                     QUERY_TERMS_HEAD, mode)
+        for algo in ("wand", "exact", "auto"):
+            _assert_same(
+                _exact(idx, QUERY_TERMS_HEAD, mode),
+                _wand(searcher, QUERY_TERMS_HEAD, mode, algorithm=algo),
+                QUERY_TERMS_HEAD, f"{mode}/{algo}",
+            )
 
 
 def test_wand_randomized(idx, searcher):

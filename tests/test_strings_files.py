@@ -1,0 +1,63 @@
+"""String-function parity (C1-C4) golden tests + file sources/sinks (S1/S2/S7)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from ucuddle_search_engine_spark.functions.strings import (
+    domain_of,
+    normalize_url,
+    normalize_ws,
+    nth_occurrence,
+)
+from ucuddle_search_engine_spark.sources.files import read_links_text, read_seed_json, write_json_debug
+
+
+def _one(spark, expr, value):
+    return spark.createDataFrame([(value,)], "s string").select(expr.alias("v")).first()["v"]
+
+
+def test_normalize_ws(spark):
+    # golden cases mirror crawler/main.go:108 (strings.Fields + join)
+    assert _one(spark, normalize_ws("s"), "  a\t\tb \n c  ") == "a b c"
+    assert _one(spark, normalize_ws("s"), "x") == "x"
+    assert _one(spark, normalize_ws("s"), "   ") == ""
+
+
+def test_normalize_url(spark):
+    # crawler/main.go:180-188: strip ?query, strip trailing /
+    assert _one(spark, normalize_url("s"), "https://a.ua/path/?q=1") == "https://a.ua/path"
+    assert _one(spark, normalize_url("s"), "https://a.ua/p//") == "https://a.ua/p"
+    assert _one(spark, normalize_url("s"), "https://a.ua") == "https://a.ua"
+
+
+def test_domain_of(spark):
+    assert _one(spark, domain_of("s"), "https://news.example.ua/x/y?z=1") == "news.example.ua"
+
+
+def test_nth_occurrence(spark):
+    # crawler/helper_funcs.go:96-110 semantics: position of n-th occurrence
+    assert _one(spark, nth_occurrence("s", "/", 3), "https://a.ua/b/c") == 13
+    assert _one(spark, nth_occurrence("s", "/", 9), "https://a.ua/b/c") == 0
+
+
+def test_seed_and_text_sources(spark, tmp_path):
+    seed = tmp_path / "seed.json"
+    seed.write_text(json.dumps({"links": ["https://a.ua", "https://b.ua"]}))
+    links = [r["link"] for r in read_seed_json(spark, str(seed)).collect()]
+    assert sorted(links) == ["https://a.ua", "https://b.ua"]
+
+    txt = tmp_path / "links.txt"
+    txt.write_text("https://x.ua\n\n  https://y.ua  \n")
+    rows = [r["link"] for r in read_links_text(spark, str(txt)).collect()]
+    assert sorted(rows) == ["https://x.ua", "https://y.ua"]
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out = str(tmp_path / "dump")
+    write_json_debug(df, out)
+    back = spark.read.json(out)
+    assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}

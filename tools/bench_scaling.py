@@ -61,13 +61,15 @@ def worker(cores: int, corpus_path: str) -> None:
     cstats.count()
     postings = build_postings_fast(docs)
     segments = build_segments(postings, None, cstats, num_shards=NUM_SHARDS)
-    segments.write.mode("overwrite").parquet(f"{corpus_path}_segs_{cores}")
+    # term-sorted files → parquet min/max row-group pruning serves term lookup
+    segments.sortWithinPartitions("shard", "term", "field", "block_no").write.mode(
+        "overwrite"
+    ).parquet(f"{corpus_path}_segs_{cores}")
     build_s = time.time() - t0
 
     seg = spark.read.parquet(f"{corpus_path}_segs_{cores}")
-    tstats = seg.groupBy("term", "field").agg(F.sum("n").alias("df")).persist()
-    tstats.count()
-    searcher = SegmentSearcher(seg, tstats, cstats, boosts=DEFAULT_BOOSTS)
+    tstats = seg.groupBy("term", "field").agg(F.sum("n").alias("df"))
+    searcher = SegmentSearcher(seg, tstats, cstats, boosts=DEFAULT_BOOSTS).prepare()
     lats = []
     for _ in range(3):
         for terms, mode in QUERY_SET:

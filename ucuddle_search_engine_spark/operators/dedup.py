@@ -92,6 +92,11 @@ def minhash_signature_arrays(
     """(doc_id, minhashes array<string>) as ONE shuffle-free projection:
     tokens → distinct shingles → per-hash array_min of md5 — the num_hashes×
     fan-out lives inside the expression tree, never in the shuffle."""
+    # the md5 fan-out is the CPU hot spot: make sure it runs at full width even
+    # when the source has few partitions (e.g. one small parquet file)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     toks = tokenize_terms(df, text_col)
     per_doc = toks.select(
         F.col(id_col).alias("doc_id"), shingle_set_col(F.col("_toks"), DEFAULT_SHINGLE).alias("sset")

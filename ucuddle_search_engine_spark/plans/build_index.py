@@ -141,7 +141,10 @@ def build_index_resumable(
         docs_path = os.path.join(out_dir, f"docs/unit={pid}")
         seg_path = os.path.join(out_dir, f"segments/unit={pid}")
         docs_u.drop("content").write.mode("overwrite").parquet(docs_path)
-        segs.write.mode("overwrite").parquet(seg_path)
+        # term-sorted files → row-group min/max pruning serves term lookups
+        segs.sortWithinPartitions("shard", "term", "field", "block_no").write.mode(
+            "overwrite"
+        ).parquet(seg_path)
         n_docs = docs_u.count()
         n_terms = spark.read.parquet(seg_path).select("term").distinct().count()
         n_bytes = sum(
