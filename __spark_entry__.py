@@ -447,6 +447,38 @@ def q_json_extract_props(spark, sf_dir):
     )
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Hierarchical totals via ROLLUP (nation → grand total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey).join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    return (
+        joined.rollup("n_name", "o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+def q_search_highlight(spark, sf_dir):
+    """Full read path with snippets: top-k + bolded match windows from stored
+    positions (C7; rows-only — snippet text is engine-defined)."""
+    from ucuddle_search_engine_spark.operators.highlight import highlight_hits
+
+    documents = load_table(spark, sf_dir, "documents")
+    idx = InvertedIndex.from_documents_table(documents)
+    terms = ["spark", "window"]
+    topk = idx.search_terms(terms, k=10, mode="and")
+    return highlight_hits(topk, idx.docs, idx.postings, terms)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_and": q_bm25_topk_and,
@@ -475,6 +507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "phrase_match": q_phrase_match,
         "json_extract_props": q_json_extract_props,
+        "rollup_revenue": q_rollup_revenue,
+        "search_highlight": q_search_highlight,
     }
 
 
@@ -641,6 +675,17 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
             FROM events GROUP BY event_type
         """,
+        "rollup_revenue": """
+            SELECT coalesce(n_name, 'ALL') AS n_name,
+                   coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   CAST(round(sum(o_totalprice), 4) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_name, o_orderstatus)
+        """,
+        # search_highlight: snippet text is engine-defined (rows-only check).
         # multimodal_features: media decode is stubbed (no image libs in env);
         # driver records the weaker rows-only check by design.
     }

@@ -64,3 +64,29 @@ def test_real_decoder_is_stubbed(spark, documents):
     with pytest.raises(Exception) as ei:
         extract_features(media, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    """Streaming windowed agg == the identical batch plan over the same rows."""
+    import shutil
+
+    from ucuddle_search_engine_spark.streaming.windows import (
+        stream_event_counts,
+        windowed_event_counts,
+    )
+
+    src_dir = str(tmp_path / "events_src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(src_dir)
+
+    q = stream_event_counts(spark, src_dir, str(tmp_path / "ckpt"), queryName="evc")
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM evc").collect()
+    }
+    exp = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["total_value"], 6))
+        for r in windowed_event_counts(events).collect()
+    }
+    assert got == exp and len(got) > 0
