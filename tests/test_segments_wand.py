@@ -70,7 +70,6 @@ def test_segment_roundtrip(idx, segments):
     seg = segments.filter(F.col("field") == 0).toPandas()
     post = (
         idx.postings.filter(F.col("field") == 0)
-        .join(idx.dstats, ["doc_id", "field"])
         .select("term", "doc_id", "tf", "doclen")
         .toPandas()
     )

@@ -31,9 +31,9 @@ from .postings import (
     FIELD_CONTENT,
     FIELD_TITLE,
     build_docs,
-    build_postings,
+    build_postings_fast,
     collection_stats,
-    doc_stats,
+    doclens_from_docs,
     term_stats,
 )
 
@@ -64,10 +64,12 @@ class InvertedIndex:
 
     @classmethod
     def build(cls, corpus: DataFrame, num_shards: int = 3, fields: dict[int, str] | None = None,
-              scale_ids: bool = False) -> "InvertedIndex":
+              scale_ids: bool | str = False) -> "InvertedIndex":
         docs = build_docs(corpus, num_shards=num_shards, scale_ids=scale_ids)
-        postings = build_postings(docs, fields=fields)
-        dstats = doc_stats(postings)
+        # fast termvector postings (bit-identical to the groupBy construction,
+        # tests/test_postings_fast.py) — no (term, doc) shuffle, doclen inline
+        postings = build_postings_fast(docs, fields=fields)
+        dstats = doclens_from_docs(docs, fields=fields)
         return cls(docs, postings, term_stats(postings), dstats, collection_stats(dstats))
 
     @classmethod
@@ -76,8 +78,9 @@ class InvertedIndex:
         (doc_id, text, ...) — used by the oracle-checked queries()."""
         extra = [c for c in documents.columns if c not in ("doc_id", "text")]
         docs = documents.select("doc_id", F.col("text").alias("content"), *extra)
-        postings = build_postings(docs, fields={FIELD_CONTENT: "content"})
-        dstats = doc_stats(postings)
+        fields = {FIELD_CONTENT: "content"}
+        postings = build_postings_fast(docs, fields=fields)
+        dstats = doclens_from_docs(docs, fields=fields)
         return cls(docs, postings, term_stats(postings), dstats, collection_stats(dstats),
                    boosts={FIELD_CONTENT: 1.0})
 
@@ -100,9 +103,10 @@ class InvertedIndex:
         ts = F.broadcast(self.tstats.filter(F.col("term").isin(terms)))
         cs = F.broadcast(self.cstats)
         boost = F.create_map(*[x for fid, w in self.boosts.items() for x in (F.lit(fid), F.lit(float(w)))])
+        if "doclen" not in matched.columns:  # fast postings carry doclen inline
+            matched = matched.join(self.dstats, ["doc_id", "field"])
         return (
             matched.join(ts, ["term", "field"])
-            .join(self.dstats, ["doc_id", "field"])
             .join(cs, ["field"])
             .withColumn(
                 "contrib",
