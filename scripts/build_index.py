@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--synth-docs", type=int, default=0)
+    ap.add_argument("--write-postings", action="store_true",
+                    help="also persist positional postings (enables highlight/phrase from disk)")
     args = ap.parse_args()
 
     spark = get_spark("build_index")
@@ -40,7 +42,8 @@ def main() -> None:
         args.corpus = ensure_corpus(spark, args.synth_docs, str(Path(args.out).parent / "synth"))
     corpus = load_corpus(spark, args.corpus)
     stats = build_index_resumable(
-        spark, corpus, args.out, n_units=args.units, num_shards=args.shards, block_size=args.block
+        spark, corpus, args.out, n_units=args.units, num_shards=args.shards,
+        block_size=args.block, write_postings=args.write_postings,
     )
     print(json.dumps(stats))
 

@@ -77,3 +77,29 @@ def test_written_index_queryable(spark, corpus, tmp_path_factory):
     res = searcher.search_terms(["t0", "t1"], k=5, mode="or").collect()
     assert 0 < len(res) <= 5
     assert all(r["score"] > 0 for r in res)
+
+
+def test_df_invariant_and_postings_sidecar(spark, corpus, tmp_path_factory):
+    """Σ block n per (term, field) across the store == true document frequency;
+    the optional positions sidecar serves phrase/highlight from disk."""
+    from pyspark.sql import functions as F
+
+    from ucuddle_search_engine_spark.operators.bm25 import InvertedIndex
+    from ucuddle_search_engine_spark.operators.phrase import phrase_match
+
+    out = str(tmp_path_factory.mktemp("idx_sidecar"))
+    build_index_resumable(spark, corpus, out, n_units=N_UNITS, write_postings=True)
+
+    segs = spark.read.parquet(os.path.join(out, "segments"))
+    df_from_segs = {
+        (r["term"], r["field"]): r["df"]
+        for r in segs.groupBy("term", "field").agg(F.sum("n").alias("df")).collect()
+    }
+    idx = InvertedIndex.build(corpus, num_shards=3)
+    df_true = {(r["term"], r["field"]): r["df"] for r in idx.tstats.collect()}
+    assert df_from_segs == df_true
+
+    postings = spark.read.parquet(os.path.join(out, "postings"))
+    disk_hits = {r["doc_id"]: r["phrase_tf"] for r in phrase_match(postings, ["t0", "t1"]).collect()}
+    mem_hits = {r["doc_id"]: r["phrase_tf"] for r in phrase_match(idx.postings, ["t0", "t1"]).collect()}
+    assert disk_hits == mem_hits

@@ -108,6 +108,7 @@ def build_index_resumable(
     num_shards: int = 3,
     block_size: int = 128,
     fail_after_units: int | None = None,
+    write_postings: bool = False,
 ) -> dict:
     """Build docs + segments + stats under out_dir, unit by unit, resumably.
 
@@ -145,6 +146,13 @@ def build_index_resumable(
         segs.sortWithinPartitions("shard", "term", "field", "block_no").write.mode(
             "overwrite"
         ).parquet(seg_path)
+        if write_postings:
+            # positional postings sidecar (Lucene's .pos analogue): lets a
+            # written index serve highlight (C7) and phrase queries without
+            # re-reading the corpus
+            postings_u.repartition("term").sortWithinPartitions("term", "doc_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"postings/unit={pid}"))
         n_docs = docs_u.count()
         n_terms = spark.read.parquet(seg_path).select("term").distinct().count()
         n_bytes = sum(
