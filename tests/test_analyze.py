@@ -3,7 +3,6 @@ unit tests (crawler/crawler_test.go:194-267, compared via EqualArrays :87-97).""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from ucuddle_search_engine_spark.functions.analyze import (
     analyze_query,

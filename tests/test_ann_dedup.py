@@ -7,7 +7,6 @@ import hashlib
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from ucuddle_search_engine_spark.operators.ann import cosine_topk_bruteforce, cosine_topk_lsh
 from ucuddle_search_engine_spark.operators.dedup import (

@@ -7,7 +7,6 @@ from __future__ import annotations
 import re
 
 import pytest
-from pyspark.sql import functions as F
 
 from ucuddle_search_engine_spark.operators.bm25 import InvertedIndex
 from ucuddle_search_engine_spark.operators.highlight import (

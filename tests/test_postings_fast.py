@@ -5,7 +5,6 @@ exist is bit-identity with the oracle construction."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from ucuddle_search_engine_spark.operators.postings import (
     build_docs,

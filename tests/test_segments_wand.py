@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import random
 
-import numpy as np
+
 import pytest
 from pyspark.sql import functions as F
 

@@ -68,7 +68,7 @@ def test_real_decoder_is_stubbed(spark, documents):
 
 def test_windowed_stream_matches_batch(spark, tmp_path):
     """Streaming windowed agg == the identical batch plan over the same rows."""
-    import shutil
+
 
     from ucuddle_search_engine_spark.streaming.windows import (
         stream_event_counts,

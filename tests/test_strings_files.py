@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import functions as F
 
 from ucuddle_search_engine_spark.functions.strings import (
     domain_of,

@@ -26,7 +26,7 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.analyze import analyze_query, tokenize_col
+from ..functions.analyze import analyze_query
 from .postings import (
     FIELD_CONTENT,
     FIELD_TITLE,

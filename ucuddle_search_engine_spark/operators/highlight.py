@@ -16,7 +16,7 @@ UDF. Nothing here scales with corpus size at query time.
 
 from __future__ import annotations
 
-from typing import Iterator
+
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame

@@ -18,7 +18,7 @@ traffic is |q| idf rows + S·k candidate rows.
 from __future__ import annotations
 
 import math
-from typing import Iterator
+
 
 import numpy as np
 import pandas as pd
