@@ -479,6 +479,42 @@ def q_search_highlight(spark, sf_dir):
     return highlight_hits(topk, idx.docs, idx.postings, terms)
 
 
+SESSION_GAP_S = 1800
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization: lag-gap flag + running sum over a user window → session
+    stats. The gap test is an interval comparison on TIMESTAMP_NTZ — timezone-
+    independent, so Spark and DuckDB agree regardless of session TZ."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) > F.expr(f"INTERVAL {SESSION_GAP_S} SECONDS"), 1
+        ).otherwise(F.lit(0)).cast("int"),
+    ).withColumn("session_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return flagged.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def q_pivot_lineitem(spark, sf_dir):
+    """Pivot: quantity by returnflag × linestatus as columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 6))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_o"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_f"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_and": q_bm25_topk_and,
@@ -509,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_props": q_json_extract_props,
         "rollup_revenue": q_rollup_revenue,
         "search_highlight": q_search_highlight,
+        "sessionize_events": q_sessionize_events,
+        "pivot_lineitem": q_pivot_lineitem,
     }
 
 
@@ -686,6 +724,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (n_name, o_orderstatus)
         """,
         # search_highlight: snippet text is engine-defined (rows-only check).
+        "sessionize_events": f"""
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_S} SECONDS
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+              FROM flagged
+            )
+            SELECT user_id, session_no, count(*) AS n_events,
+                   CAST(round(sum(value), 6) AS DOUBLE) AS total_value
+            FROM sess GROUP BY user_id, session_no
+        """,
+        "pivot_lineitem": """
+            SELECT l_returnflag,
+                   coalesce(CAST(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 6) AS DOUBLE), 0.0) AS qty_o,
+                   coalesce(CAST(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 6) AS DOUBLE), 0.0) AS qty_f
+            FROM lineitem GROUP BY l_returnflag
+        """,
         # multimodal_features: media decode is stubbed (no image libs in env);
         # driver records the weaker rows-only check by design.
     }
