@@ -79,3 +79,19 @@ def test_build_has_single_wide_exchange(spark):
     # one hash exchange for the groupBy(shard, term, field, chunk); the id
     # assignment's range exchange is upstream of docs and not counted here
     assert len(wide) <= 2, plan[:2000]
+
+
+def test_written_store_partition_pruning(spark, tmp_path_factory):
+    """A written index prunes at the DIRECTORY level via the md5 term-bucket
+    partition column — the query plan must show PartitionFilters on tb."""
+    from ucuddle_search_engine_spark.plans.build_index import build_index_resumable, load_searcher
+
+    out = str(tmp_path_factory.mktemp("idx_tb"))
+    corpus = synth_corpus(spark, 300, partitions=4)
+    build_index_resumable(spark, corpus, out, n_units=2, num_shards=3)
+    s = load_searcher(spark, out)
+    q = s.search_terms(["t5", "t40"], k=5, mode="or")
+    plan = _plan(q)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "tb#" in ln]
+    assert pf, plan[:1500]
+    assert "IN (" in pf[0] or "IN(" in pf[0]

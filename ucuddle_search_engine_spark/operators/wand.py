@@ -258,6 +258,14 @@ class SegmentSearcher:
         matched = self.segments.filter(
             F.col("term").isin(terms) & F.col("field").isin(list(boosts))
         )
+        if "tb" in self.segments.columns:
+            # written stores carry the md5 term-bucket PARTITION column —
+            # directory-level pruning before any row is read
+            from ..functions.hashing import md5_prefix_long_py
+            from ..plans.build_index import TERM_BUCKETS
+
+            buckets = sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in terms})
+            matched = matched.filter(F.col("tb").isin(buckets))
 
         def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) == 0:

@@ -48,6 +48,9 @@ from ..operators.segments import build_segments
 from ..operators.wand import SegmentSearcher
 
 
+TERM_BUCKETS = 64  # segment-store partition fan-out per unit (directory pruning)
+
+
 def _unit_col(n_units: int):
     return F.pmod(md5_prefix_long("repo"), F.lit(n_units)).cast("int")
 
@@ -142,10 +145,17 @@ def build_index_resumable(
         docs_path = os.path.join(out_dir, f"docs/unit={pid}")
         seg_path = os.path.join(out_dir, f"segments/unit={pid}")
         docs_u.drop("content").write.mode("overwrite").parquet(docs_path)
-        # term-sorted files → row-group min/max pruning serves term lookups
-        segs.sortWithinPartitions("shard", "term", "field", "block_no").write.mode(
-            "overwrite"
-        ).parquet(seg_path)
+        # layout-as-pushdown, two levels: tb = md5-hash bucket of the term as a
+        # PARTITION column (directory pruning: a query term touches 1/TERM_BUCKETS
+        # of the files) + term-sorted rows inside files (row-group min/max pruning)
+        (
+            segs.withColumn("tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int"))
+            .repartition("tb")
+            .sortWithinPartitions("shard", "term", "field", "block_no")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(seg_path)
+        )
         if write_postings:
             # positional postings sidecar (Lucene's .pos analogue): lets a
             # written index serve highlight (C7) and phrase queries without
