@@ -56,8 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _bm25(spark: SparkSession, sf_dir: str, terms: list[str], mode: str, k: int = 10) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     idx = InvertedIndex.from_documents_table(documents)
-    out = idx.search_terms(terms, k=k, mode=mode)
-    return out.select("doc_id", F.round(F.col("score"), 6).alias("score"))
+    return idx.search_terms(terms, k=k, mode=mode, round_dp=6)
 
 
 def _bm25_sql(terms: list[str], mode: str, k: int = 10) -> str:
@@ -395,7 +394,13 @@ def q_multimodal_features(spark, sf_dir):
     """Binary-payload plumbing: deterministic fake feature extraction via
     mapInPandas (rows-only check: media decode is stubbed by design)."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_fake_payload(docs), fake=True)
+    feats = extract_features(attach_fake_payload(docs), fake=True)
+    # Serialize the array<double> for the driver's canonicalizer (pandas can't
+    # sort/hash list cells); tests keep the array-typed API.
+    return feats.select(
+        "doc_id",
+        F.to_json(F.transform("feature", lambda x: F.round(x, 9))).alias("feature_json"),
+    )
 
 
 def _pagerank_sql(iters: int = PR_ITERS, n: int = 500, d: float = 0.85) -> str:
@@ -664,7 +669,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id, b.bit
             )
             SELECT doc_id,
-                   sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+                   CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END)
+                        AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
         """,
         "embedding_neardup_pairs": """
@@ -733,8 +739,8 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
             sess AS (
-              SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+              SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
               FROM flagged
             )
             SELECT user_id, session_no, count(*) AS n_events,

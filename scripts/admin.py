@@ -62,13 +62,14 @@ def main() -> None:
         for row in searcher.search_terms(analyze_query(args.query), k=args.k, mode=args.mode).collect():
             print(f"{row['doc_id']}\t{row['score']:.6f}")
     elif args.cmd == "delete-docs":  # deleting (elastic_CRUD.go:141-183)
+        # Soft delete: append tombstones; search anti-filters them until the
+        # next rebuild (ES delete-until-merge). The docs/unit=N layout that
+        # resume relies on is left untouched.
         ids = [int(x) for x in args.ids.split(",")]
-        kept = docs.filter(~F.col("doc_id").isin(ids))
-        tmp = f"{args.index}/docs_tmp"
-        kept.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(f"{args.index}/docs")
-        Path(tmp).rename(f"{args.index}/docs")
-        print(f"deleted {len(ids)} docs")
+        spark.createDataFrame([(i,) for i in ids], "doc_id long").coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{args.index}/tombstones")
+        print(f"tombstoned {len(ids)} docs")
 
 
 if __name__ == "__main__":

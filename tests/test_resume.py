@@ -79,6 +79,70 @@ def test_written_index_queryable(spark, corpus, tmp_path_factory):
     assert all(r["score"] > 0 for r in res)
 
 
+def test_multiunit_and_wand_match_exact(spark, corpus, tmp_path_factory):
+    """Regression: stores written with n_units>1 reuse block_no ranges across
+    units (overlapping doc ranges per (shard,term,field)); AND intersection
+    and WAND skipping must still match the exact in-memory engine — the
+    searcher builds one posting chain per (term, field, unit)."""
+    from ucuddle_search_engine_spark.operators.bm25 import InvertedIndex
+
+    out = str(tmp_path_factory.mktemp("idx_multiunit"))
+    build_index_resumable(spark, corpus, out, n_units=N_UNITS)
+    searcher = load_searcher(spark, out)
+    idx = InvertedIndex.build(corpus, num_shards=3)
+    terms = ["t0", "t1"]
+
+    def ranked(df):
+        return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+    assert ranked(searcher.search_terms(terms, k=10, mode="and")) == ranked(
+        idx.search_terms(terms, k=10, mode="and")
+    )
+    exact_or = ranked(idx.search_terms(terms, k=10, mode="or"))
+    assert ranked(searcher.search_terms(terms, k=10, mode="or", algorithm="wand")) == exact_or
+    assert ranked(searcher.search_terms(terms, k=10, mode="or", algorithm="exact")) == exact_or
+
+
+def test_resume_after_corpus_change_rebuilds_all(spark, corpus, tmp_path_factory):
+    """A changed corpus invalidates every unit (ids and cstats are corpus-
+    global): resuming over the old store must equal a fresh full build."""
+    out = str(tmp_path_factory.mktemp("idx_changed"))
+    fresh = str(tmp_path_factory.mktemp("idx_fresh"))
+    build_index_resumable(spark, corpus, out, n_units=N_UNITS)
+
+    bigger = synth_corpus(spark, N_DOCS + 50, partitions=4).cache()
+    resumed = build_index_resumable(spark, bigger, out, n_units=N_UNITS)
+    assert resumed["completed_units"] == N_UNITS  # nothing was skipped
+    build_index_resumable(spark, bigger, fresh, n_units=N_UNITS)
+    assert _index_content(spark, out) == _index_content(spark, fresh)
+    bigger.unpersist()
+
+
+def test_tombstoned_docs_vanish_from_results(spark, corpus, tmp_path_factory):
+    """delete-docs writes tombstones; search anti-filters them BEFORE the
+    top-k cut (successor docs fill the slots), scores keep corpus-global
+    stats — ES soft-delete-until-merge semantics."""
+    out = str(tmp_path_factory.mktemp("idx_tomb"))
+    build_index_resumable(spark, corpus, out, n_units=N_UNITS)
+    terms = ["t0", "t1"]
+    pre = load_searcher(spark, out)  # opened before any tombstone exists
+    dead = [r["doc_id"] for r in pre.search_terms(terms, k=2, mode="or").collect()]
+    spark.createDataFrame([(i,) for i in dead], "doc_id long").write.mode("append").parquet(
+        os.path.join(out, "tombstones")
+    )
+    searcher = load_searcher(spark, out)
+    assert searcher.tombstones == sorted(dead)
+    for mode, algo in (("or", "auto"), ("or", "wand"), ("and", "auto")):
+        got = [(r["doc_id"], round(r["score"], 9)) for r in
+               searcher.search_terms(terms, k=5, mode=mode, algorithm=algo).collect()]
+        assert not set(dead) & {d for d, _ in got}
+        # expected: the pre-delete ranking minus the dead ids, first 5
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                pre.search_terms(terms, k=5 + len(dead), mode=mode).collect()
+                if r["doc_id"] not in dead][:5]
+        assert got == want
+
+
 def test_df_invariant_and_postings_sidecar(spark, corpus, tmp_path_factory):
     """Σ block n per (term, field) across the store == true document frequency;
     the optional positions sidecar serves phrase/highlight from disk."""

@@ -33,14 +33,15 @@ def cosine_topk_bruteforce(emb: DataFrame, query_vec: list[float], k: int = 10,
     literal array → no join, single scan, whole-stage codegen."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    # Round BEFORE orderBy/limit: ties at the k boundary then break by vec_id
+    # exactly like a rounded-score SQL oracle (ulp-robust cut).
     return (
         emb.select(
             F.col(id_col).alias("vec_id"),
-            (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))).alias("cosine"),
+            F.round(_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn)), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
-        .select("vec_id", F.round("cosine", 6).alias("cosine"))
     )
 
 

@@ -116,11 +116,15 @@ class InvertedIndex:
             )
         )
 
-    def search_terms(self, terms: list[str], k: int = 20, mode: str = "and") -> DataFrame:
+    def search_terms(self, terms: list[str], k: int = 20, mode: str = "and",
+                     round_dp: int | None = None) -> DataFrame:
         """Top-k (doc_id, score) for analyzed query terms.
 
         mode='and' ⇔ the reference's minimum_should_match "100%" (every term in
         the doc, any field); mode='or' ⇔ plain disjunctive multi_match.
+        round_dp: round the score BEFORE orderBy/limit so ties at the k
+        boundary break by doc_id identically to a rounded-score oracle
+        (summation-order ulps otherwise make the cut flaky).
         """
         terms = sorted(set(terms))
         scored = self.score_terms(terms)
@@ -130,8 +134,9 @@ class InvertedIndex:
         )
         if mode == "and":
             agg = agg.filter(F.col("_nterms") == len(terms))
+        score = F.round("score", round_dp) if round_dp is not None else F.col("score")
         return (
-            agg.select("doc_id", "score")
+            agg.select("doc_id", score.alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
         )

@@ -36,7 +36,8 @@ class _PList:
 
     __slots__ = ("docs", "tfs", "dls", "weight_idf", "avgdl", "block_ends", "block_ubs", "cur", "ub")
 
-    def __init__(self, blocks: pd.DataFrame, weight_idf: float, avgdl: float):
+    def __init__(self, blocks: pd.DataFrame, weight_idf: float, avgdl: float,
+                 dead: np.ndarray | None = None):
         blocks = blocks.sort_values("block_no")
         self.docs = np.concatenate([decode_doc_ids(b) for b in blocks["doc_bytes"]]).astype(np.int64)
         self.tfs = np.concatenate([vb_decode(b) for b in blocks["tf_bytes"]]).astype(np.int64)
@@ -46,6 +47,26 @@ class _PList:
         ns = blocks["n"].to_numpy(np.int64)
         self.block_ends = np.cumsum(ns) - 1  # index of last posting per block
         self.block_ubs = blocks["max_impact"].to_numpy(np.float64) * weight_idf
+        if dead is not None and len(dead) and len(self.docs):
+            # Tombstones (ES soft-delete until merge): drop dead postings BEFORE
+            # any top-k cut; block upper bounds over the superset stay valid.
+            alive = ~np.isin(self.docs, dead)
+            if not alive.all():
+                alive_cum = np.cumsum(alive)
+                ends_alive = alive_cum[self.block_ends]
+                keep = np.diff(np.concatenate(([0], ends_alive))) > 0
+                self.docs, self.tfs, self.dls = self.docs[alive], self.tfs[alive], self.dls[alive]
+                self.block_ends = (ends_alive - 1)[keep]
+                self.block_ubs = self.block_ubs[keep]
+        if len(self.docs) > 1 and not (self.docs[1:] > self.docs[:-1]).all():
+            # Defensive: a chain whose block_no order is not doc order (e.g. a
+            # store mixing several builds without a unit column) would break
+            # searchsorted advancing. Re-sort and collapse block metadata to a
+            # single block — correct, just coarser skipping.
+            order = np.argsort(self.docs, kind="stable")
+            self.docs, self.tfs, self.dls = self.docs[order], self.tfs[order], self.dls[order]
+            self.block_ends = np.array([len(self.docs) - 1], dtype=np.int64)
+            self.block_ubs = np.array([self.block_ubs.max()], dtype=np.float64)
         self.cur = 0
         self.ub = float(self.block_ubs.max()) if len(self.block_ubs) else 0.0
 
@@ -194,11 +215,15 @@ class SegmentSearcher:
     """Query engine over a (written or in-memory) segment store."""
 
     def __init__(self, segments: DataFrame, tstats: DataFrame, cstats: DataFrame,
-                 boosts: dict[int, float] | None = None):
+                 boosts: dict[int, float] | None = None,
+                 tombstones: list[int] | None = None):
         self.segments = segments
         self.tstats = tstats
         self.cstats = cstats
         self.boosts = boosts if boosts is not None else dict(DEFAULT_BOOSTS)
+        # deleted doc ids (soft-delete until next rebuild, like ES/Lucene
+        # per-segment delete bitmaps — kept driver-side, |deletes| << corpus)
+        self.tombstones = sorted(set(tombstones)) if tombstones else []
         self._coll: dict | None = None
         self._tstats_cache: dict | None = None
 
@@ -252,6 +277,10 @@ class SegmentSearcher:
             avgdl[(t, f)] = float(coll[f][1])
         b_widf = spark.sparkContext.broadcast(widf)
         b_avgdl = spark.sparkContext.broadcast(avgdl)
+        b_dead = (
+            spark.sparkContext.broadcast(np.asarray(self.tombstones, dtype=np.int64))
+            if self.tombstones else None
+        )
         boosts = self.boosts
         nterms = len(terms)
 
@@ -271,11 +300,18 @@ class SegmentSearcher:
             if len(pdf) == 0:
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
             lists_by_term: dict[str, list[_PList]] = {}
-            for (t, f), g in pdf.groupby(["term", "field"], sort=False):
+            # Stores written unit-by-unit (plans/build_index.py) reuse block_no
+            # ranges across units with overlapping doc ranges; each unit's
+            # chain IS doc-sorted, so build one _PList per (term, field, unit)
+            # — WAND/intersect/exact all handle multiple lists per term.
+            gcols = ["term", "field", "unit"] if "unit" in pdf.columns else ["term", "field"]
+            for gkey, g in pdf.groupby(gcols, sort=False):
+                t, f = gkey[0], gkey[1]
                 key = (t, int(f))
                 if key not in b_widf.value:
                     continue
-                L = _PList(g, b_widf.value[key], b_avgdl.value[key])
+                L = _PList(g, b_widf.value[key], b_avgdl.value[key],
+                           dead=b_dead.value if b_dead is not None else None)
                 lists_by_term.setdefault(t, []).append(L)
             if mode == "and":
                 if len(lists_by_term) < nterms:

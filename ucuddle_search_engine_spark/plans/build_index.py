@@ -127,11 +127,35 @@ def build_index_resumable(
 
     done = 0
     t0 = time.time()
+    # Resume safety: doc ids are a corpus-global dense rank and cstats are
+    # corpus-global (baked into stored max_impact), so a CHANGED corpus makes
+    # every previously-built unit stale, not just the changed ones. Compute
+    # all unit fingerprints first; skip-on-resume is only allowed when the
+    # WHOLE corpus is unchanged (identical-corpus crash-resume). Any mismatch
+    # → invalidate and rebuild all units.
+    fps = {
+        pid: _fingerprint(docs.filter(F.col("_unit") == pid).select("repo", "path", "commit"))
+        for pid in range(n_units)
+    }
+    corpus_changed = any(
+        manifest.fingerprint(pid) is not None and manifest.fingerprint(pid) != fps[pid]
+        for pid in range(n_units)
+    ) or any(pid not in fps for pid in manifest.rows)  # n_units shrank
+    if corpus_changed:
+        import shutil
+
+        for sub in ("docs", "segments", "postings", "tstats", "tombstones"):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        for pid in list(manifest.rows):
+            if pid in fps:
+                manifest.mark(pid, status="pending")
+            else:
+                del manifest.rows[pid]
     for pid in range(n_units):
         docs_u = docs.filter(F.col("_unit") == pid).drop("_unit")
-        fp = _fingerprint(docs_u.select("repo", "path", "commit"))
-        if manifest.status(pid) == "parsed" and manifest.fingerprint(pid) == fp:
-            continue  # resume: already built and input unchanged
+        fp = fps[pid]
+        if not corpus_changed and manifest.status(pid) == "parsed" and manifest.fingerprint(pid) == fp:
+            continue  # resume: already built and whole corpus unchanged
         if fail_after_units is not None and done >= fail_after_units:
             docs.unpersist()
             cstats.unpersist()
@@ -202,11 +226,17 @@ def build_index_resumable(
 
 
 def load_searcher(spark: SparkSession, out_dir: str, boosts: dict[int, float] | None = None) -> SegmentSearcher:
-    """Open a written index for querying."""
+    """Open a written index for querying. Deleted doc ids (tombstones written
+    by `admin.py delete-docs`) are anti-filtered inside the searcher until the
+    next rebuild — the ES soft-delete-until-merge model."""
     import pandas as pd
 
     segments = spark.read.parquet(os.path.join(out_dir, "segments"))
     tstats = spark.read.parquet(os.path.join(out_dir, "tstats"))
     cs = pd.read_json(os.path.join(out_dir, "cstats.json"))
     cstats = spark.createDataFrame(cs)
-    return SegmentSearcher(segments, tstats, cstats, boosts=boosts)
+    tombstones = None
+    ts_path = os.path.join(out_dir, "tombstones")
+    if os.path.isdir(ts_path):
+        tombstones = [r["doc_id"] for r in spark.read.parquet(ts_path).select("doc_id").collect()]
+    return SegmentSearcher(segments, tstats, cstats, boosts=boosts, tombstones=tombstones)
