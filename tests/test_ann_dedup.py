@@ -139,6 +139,40 @@ def test_embedding_neardup_pairs(emb):
         assert abs(v - exp[k]) < 1e-5
 
 
+def test_embedding_neardup_bucketed_recall_and_plan(spark):
+    """The 100 TB path: banded-LSH near-dup must (a) reach ≥0.95 recall of the
+    all-pairs oracle on planted near-dup clusters, (b) report exact cosines
+    for every pair it finds, and (c) plan as a hash join on the bucket key —
+    no BroadcastNestedLoopJoin anywhere."""
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((120, 64))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # 3 noisy copies per cluster → true cosine ≈ 0.97
+            v = b + 0.18 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    thr = 0.9
+    truth = {(r["doc_a"], r["doc_b"]): r["cosine"]
+             for r in embedding_neardup_pairs(emb, thr).collect()}
+    assert len(truth) > 100  # planted clusters actually produce pairs
+    bucketed = embedding_neardup_pairs(emb, thr, bucketed=True)
+    got = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in bucketed.collect()}
+
+    assert set(got) <= set(truth)  # no false positives (exact verify inside buckets)
+    recall = len(got) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.3f}"
+    for k, v in got.items():
+        assert abs(v - truth[k]) < 1e-6
+
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
 def test_ann_bruteforce_exact(emb):
     rows = emb.collect()
     vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}

@@ -236,34 +236,100 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "do
     )
 
 
-def embedding_neardup_pairs(emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Cosine ≥ τ pairs. JVM-side dot products via aggregate(zip_with(...)).
-    All-pairs at test scale; at 100 TB pre-bucket with operators/ann.py's
-    hyperplane LSH and run this within buckets."""
-    normed = emb.select(
+def _normed(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("v"),
         F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))).alias("norm"),
     )
-    a, b = normed.alias("a"), normed.alias("b")
+
+
+def _pair_cosine(pairs: DataFrame, normed: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b) candidates → verified cosine ≥ τ pairs. Vectors are
+    fetched by two hash joins AFTER candidate generation, so the LSH key
+    explode never carries the embedding payload."""
+    av = normed.select(F.col("doc_id").alias("doc_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    bv = normed.select(F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        pairs.join(av, "doc_a")
+        .join(bv, "doc_b")
         .withColumn(
-            "dot",
+            "cosine",
             F.aggregate(
-                F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
+                F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            ),
+            )
+            / (F.col("na") * F.col("nb")),
         )
-        .withColumn("cosine", F.col("dot") / (F.col("a.norm") * F.col("b.norm")))
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round("cosine", 6).alias("cosine"),
-        )
+        .select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucketed: bool = False,
+    n_tables: int = 8,
+    bits_per_table: int = 3,
+) -> DataFrame:
+    """Cosine ≥ τ pairs. JVM-side dot products via aggregate(zip_with(...)).
+
+    bucketed=False — exact all-pairs; the test ORACLE only (O(N²), never run
+    at scale).
+    bucketed=True — the 100 TB path: banded hyperplane LSH (n_tables tables ×
+    bits_per_table sign bits, deterministic planes from operators/ann). Each
+    vector gets n_tables (table_id, bucket) keys from ONE 24-plane signature
+    pass; candidates come from a self-HASH-join on the key (bucket-local,
+    O(Σ bucket²) per table, AQE-splittable), verified by exact cosine within
+    buckets. Recall = 1-(1-(1-θ/π)^bits)^tables — ≥0.95 for true near-dups
+    (τ ≥ 0.8) at the defaults, asserted in tests/test_ann_dedup.py.
+    """
+    normed = _normed(emb, id_col, vec_col)
+    if not bucketed:
+        a, b = normed.alias("a"), normed.alias("b")
+        return (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .withColumn(
+                "dot",
+                F.aggregate(
+                    F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            .withColumn("cosine", F.col("dot") / (F.col("a.norm") * F.col("b.norm")))
+            .filter(F.col("cosine") >= threshold)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.round("cosine", 6).alias("cosine"),
+            )
+        )
+
+    from .ann import _planes, lsh_bucket_col
+
+    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    planes = _planes(dim, n_tables * bits_per_table)
+    mask = (1 << bits_per_table) - 1
+    sigs = normed.select("doc_id", lsh_bucket_col(F.col("v"), planes).alias("_sig"))
+    keyed = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.expr(f"shiftright(_sig, {t * bits_per_table}) & {mask}") for t in range(n_tables)])
+        ).alias("table_id", "bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.table_id") == F.col("b.table_id")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    return _pair_cosine(cand, normed, threshold)
 
 
 def dedup_keep_best(df: DataFrame, key_col: str, order_col: str, id_col: str = "doc_id") -> DataFrame:
