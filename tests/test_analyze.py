@@ -46,3 +46,154 @@ def test_query_side_equals_index_side(spark):
     df = spark.createDataFrame([(t,) for t in texts], "raw string")
     jvm = [r[0] for r in df.select(tokenize_col("raw")).collect()]
     assert jvm == [analyze_query(t) for t in texts]
+
+
+# ---------------------------------------------------------------------------
+# Configurable analyzer chain (stop + stem + Unicode tokens): K3/K4 with the
+# reference's ukrainian/russian analyzer shape (functs_with_elastic.go:136-157)
+# ---------------------------------------------------------------------------
+
+from ucuddle_search_engine_spark.functions.analyze import (  # noqa: E402
+    ANALYZERS,
+    Analyzer,
+    IDENTITY_ANALYZER,
+    make_termvector_udf,
+)
+
+ANALYZER_TEXTS = [
+    "The windows and streams for customers are closing quickly",
+    "Classes of glasses; class is in session, studies studied ties",
+    "и вот на столе книги и статьи о проектах компании",
+    "і це на столі книги та статті про проєкти компанії",
+    "Mixed língua text: the окно and вікно for systems 42",
+    "",
+]
+
+
+def test_en_stemmer_golden():
+    an = ANALYZERS["en"]
+    golden = {
+        "windows": "window", "streams": "stream", "customers": "customer",
+        "closing": "clos", "quickly": "quick", "classes": "class",
+        "class": "class", "glasses": "glass", "studies": "studi",
+        "the": "the",  # stemming only; stopword removal is a separate stage
+        "king": "king",  # min_stem guard: 4-3 < 3
+    }
+    for raw, want in golden.items():
+        assert an.stem_py(raw) == want, raw
+
+
+def test_analyzer_stopwords_removed():
+    an = ANALYZERS["en"]
+    out = an.analyze_py("The windows and streams for customers")
+    assert out == ["window", "stream", "customer"]
+    ru = ANALYZERS["ru"]
+    out_ru = ru.analyze_py("и вот на столе книги")
+    assert "и" not in out_ru and "на" not in out_ru
+
+
+def test_cyrillic_tokenization():
+    ru = ANALYZERS["ru"]
+    toks = ru.analyze_py("Вікно ОКНО окно39 test")
+    assert toks  # Cyrillic must NOT tokenize to nothing
+    ident = IDENTITY_ANALYZER.analyze_py("окно слово")
+    assert ident == []  # ASCII identity analyzer drops Cyrillic (documented)
+
+
+def test_analyzer_column_python_udf_parity(spark):
+    """The SAME Analyzer instance must tokenize identically in all three
+    execution forms: Column expression, Arrow UDF, driver Python."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ANALYZER_TEXTS)], "id long, raw string"
+    )
+    for name in ("en", "ru", "uk"):
+        an = ANALYZERS[name]
+        py = {i: an.analyze_py(t) for i, t in enumerate(ANALYZER_TEXTS)}
+        col_rows = {r["id"]: r["toks"] for r in
+                    df.select("id", an.tokens_col("raw").alias("toks")).collect()}
+        assert col_rows == py, f"Column vs Python mismatch for {name}"
+        udf = make_termvector_udf(an)
+        udf_rows = {r["id"]: r["tv"] for r in df.select("id", udf("raw").alias("tv")).collect()}
+        for i, toks in py.items():
+            got = sorted((t["term"], t["tf"], list(t["positions"]), t["doclen"]) for t in udf_rows[i])
+            agg = {}
+            for p, t in enumerate(toks):
+                agg.setdefault(t, []).append(p)
+            want = sorted((t, len(ps), ps, len(toks)) for t, ps in agg.items())
+            assert got == want, f"UDF vs Python mismatch for {name} doc {i}"
+
+
+def test_analyzer_sql_parity_duckdb():
+    """tokens_sql must reproduce analyze_py exactly in DuckDB — the oracle's
+    view of the analyzer chain."""
+    import duckdb
+
+    con = duckdb.connect()
+    for name in ("en", "ru", "uk"):
+        an = ANALYZERS[name]
+        for t in ANALYZER_TEXTS:
+            got = con.execute(f"SELECT {an.tokens_sql('?')}", [t]).fetchone()[0]
+            assert got == an.analyze_py(t), f"SQL vs Python mismatch for {name}: {t!r}"
+
+
+def test_lang_routing(spark):
+    from ucuddle_search_engine_spark.operators.routing import LangRoutedIndex, detect_lang
+
+    assert detect_lang("the windows and streams for customers") == "en"
+    assert detect_lang("el sistema para los datos") == "es"
+    assert detect_lang("xyzzy 123") == "und"
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the stream window is in the system for the customer"),
+            (1, "the window of the stream and the batch for it"),
+            (2, "el sistema para los datos y la tabla"),
+            (3, "zz qq ww"),
+        ],
+        "doc_id long, text string",
+    )
+    router = LangRoutedIndex(docs)
+    lang, idx = router.route("the windows for streams")
+    assert lang == "en"
+    hits = router.search("the windows for streams", k=5, mode="or").collect()
+    ids = {r["doc_id"] for r in hits}
+    assert ids and ids <= {0, 1}  # only the English docs, via the en index
+    # fallback: undetectable query routes to the identity index over all docs
+    lang2, idx2 = router.route("zz qq")
+    assert lang2 == "und" and idx2 is router.fallback
+
+
+def test_fuzzy_expansion_and_search(spark):
+    from ucuddle_search_engine_spark.operators.bm25 import InvertedIndex
+    from ucuddle_search_engine_spark.operators.fuzzy import auto_distance, expand_terms, fuzzy_search
+
+    assert [auto_distance(t) for t in ["ab", "abc", "abcde", "abcdef"]] == [0, 1, 1, 2]
+
+    docs = spark.createDataFrame(
+        [
+            (0, "window stream merge window"),
+            (1, "stream batch table"),
+            (2, "wind vector data"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = InvertedIndex.from_documents_table(docs)
+    dictionary = idx.tstats.groupBy("term").agg({"df": "max"}).withColumnRenamed("max(df)", "df")
+    exp = {(r["qterm"], r["term"]) for r in expand_terms(dictionary, ["windoq", "strem"]).collect()}
+    assert ("windoq", "window") in exp          # 1 edit, d=2
+    assert ("strem", "stream") in exp           # 1 edit, d=1
+    assert ("windoq", "wind") in exp            # 2 edits, d=2
+    assert ("strem", "merge") not in exp        # >1 edit at d=1
+    assert all(t != "batch" for _, t in exp)
+
+    hits = fuzzy_search(idx, ["windoq", "strem"], k=5).collect()
+    ids = [r["doc_id"] for r in hits]
+    assert set(ids) == {0, 1, 2}  # window/stream/wind expansions
+    assert hits[0]["doc_id"] == 0  # doc 0 matches both query terms' expansions
+
+    # cap: max_expansions=1 keeps only the highest-df expansion per qterm
+    exp1 = expand_terms(dictionary, ["windoq", "strem"], max_expansions=1)
+    per_q = {}
+    for r in exp1.collect():
+        per_q.setdefault(r["qterm"], set()).add(r["term"])
+    assert all(len(v) == 1 for v in per_q.values())

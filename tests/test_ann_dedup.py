@@ -103,6 +103,17 @@ def test_lsh_recall_of_high_jaccard(docs, pdocs):
     assert truth <= cands
 
 
+def test_lsh_xx64_fast_path(docs, pdocs):
+    """The 64-bit xxhash64 signature fast path keeps the same LSH guarantees:
+    identical docs share every band; high-Jaccard truth pairs are recalled;
+    output is deterministic across runs."""
+    fast = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs, hash_kind="xx64").collect()}
+    truth = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, 0.95).collect()}
+    assert truth <= fast
+    again = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs, hash_kind="xx64").collect()}
+    assert fast == again
+
+
 def test_simhash_bits_and_neardups(docs, pdocs):
     vals = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert set(vals) == set(pdocs)

@@ -24,6 +24,7 @@ reference's russian_stop applies to its web corpus only).
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 from typing import Iterator, List
 
 import pandas as pd
@@ -33,7 +34,123 @@ from pyspark.sql import functions as F
 from ..schema import TOKENS_SCHEMA
 
 TOKEN_PATTERN = "[a-z0-9]+"
+# ASCII + Cyrillic (incl. ё and Ukrainian є і ї ґ) — literal char ranges so the
+# SAME pattern string runs in Java regex (Spark), Python re, and RE2 (DuckDB)
+TOKEN_PATTERN_CYRILLIC = "[a-z0-9а-яёєіїґ]+"
 _PY_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+# ---------------------------------------------------------------------------
+# Configurable analyzer: tokenize → stopword filter → light stemmer.
+#
+# The reference configures exactly this chain inside Elasticsearch — the
+# ukrainian/russian analyzers with stop+stem filters
+# (crawler/functs_with_elastic.go:136-157) — and pins search_analyzer ==
+# index analyzer (:85-94). One Analyzer instance here is the single source of
+# truth for all three execution forms (Column expression, Arrow UDF, driver
+# Python) plus the DuckDB-SQL rendering used by the machine-checkable oracle,
+# so index/query/oracle parity is structural, not tested-by-luck.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Analyzer:
+    """token_pattern over lowercased text; stopwords removed post-tokenize;
+    stem rules are (suffix, replacement) pairs tried in order — the FIRST
+    matching suffix with len(token) - len(suffix) >= min_stem applies (an
+    identity pair like ('ss','ss') blocks later shorter rules, Porter-style).
+    Defaults = the identity analyzer (current oracle-query behavior)."""
+
+    token_pattern: str = TOKEN_PATTERN
+    stopwords: tuple[str, ...] = ()
+    stem_rules: tuple[tuple[str, str], ...] = ()
+    min_stem: int = 3
+
+    # -- Python form (query side + Arrow UDF body) --------------------------
+    def stem_py(self, tok: str) -> str:
+        for suf, rep in self.stem_rules:
+            if tok.endswith(suf) and len(tok) - len(suf) >= self.min_stem:
+                return tok[: len(tok) - len(suf)] + rep
+        return tok
+
+    def analyze_py(self, text: str) -> List[str]:
+        toks = re.findall(self.token_pattern, text.lower())
+        stops = set(self.stopwords)
+        return [self.stem_py(t) for t in toks if t not in stops]
+
+    # -- Column form (index build + exact-BM25 hot path) ---------------------
+    def stem_col(self, tok: Column) -> Column:
+        out = tok
+        for suf, rep in reversed(self.stem_rules):
+            cond = tok.endswith(suf) & (F.length(tok) - len(suf) >= self.min_stem)
+            stemmed = F.concat(F.substr(tok, F.lit(1), F.length(tok) - len(suf)), F.lit(rep))
+            out = F.when(cond, stemmed).otherwise(out)
+        return out
+
+    def tokens_col(self, col: Column | str) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        toks = F.regexp_extract_all(F.lower(c), F.lit(self.token_pattern), 0)
+        if self.stopwords:
+            toks = F.filter(toks, lambda t: ~t.isin(*self.stopwords))
+        if self.stem_rules:
+            toks = F.transform(toks, self.stem_col)
+        return toks
+
+    # -- SQL form (DuckDB oracle rendering) ----------------------------------
+    def stem_sql(self, var: str = "t") -> str:
+        if not self.stem_rules:
+            return var
+        expr = var
+        for suf, rep in reversed(self.stem_rules):
+            sl = len(suf)
+            expr = (
+                f"CASE WHEN ends_with({var}, '{suf}') AND length({var}) - {sl} >= {self.min_stem} "
+                f"THEN substring({var}, 1, length({var}) - {sl}) || '{rep}' ELSE {expr} END"
+            )
+        return expr
+
+    def tokens_sql(self, expr: str) -> str:
+        toks = f"regexp_extract_all(lower({expr}), '{self.token_pattern}')"
+        if self.stopwords:
+            arr = ", ".join(f"'{w}'" for w in self.stopwords)
+            toks = f"list_filter({toks}, t -> NOT list_contains([{arr}], t))"
+        if self.stem_rules:
+            toks = f"list_transform({toks}, t -> {self.stem_sql('t')})"
+        return toks
+
+
+IDENTITY_ANALYZER = Analyzer()
+
+# Light stemmers: strip-only suffix rules (longest-first; identity pairs block
+# over-stripping), the ES light_english/light_russian shape — deliberately
+# coarse, same on both index and query sides so recall improves without any
+# parity risk.
+_EN_STEM = (("sses", "ss"), ("ies", "i"), ("ing", ""), ("ed", ""), ("ss", "ss"),
+            ("es", ""), ("ly", ""), ("s", ""))
+_RU_STEM = (("иями", ""), ("ями", ""), ("ами", ""), ("ого", ""), ("его", ""),
+            ("ому", ""), ("ему", ""), ("ыми", ""), ("ими", ""), ("ует", ""),
+            ("ать", ""), ("ять", ""), ("ить", ""), ("еть", ""), ("ет", ""),
+            ("ют", ""), ("ит", ""), ("ой", ""), ("ей", ""), ("ов", ""),
+            ("ев", ""), ("ам", ""), ("ях", ""), ("ом", ""), ("ем", ""),
+            ("ы", ""), ("и", ""), ("а", ""), ("я", ""), ("о", ""), ("е", ""),
+            ("у", ""), ("ю", ""), ("ь", ""))
+_UK_STEM = (("ення", ""), ("ість", ""), ("ями", ""), ("ами", ""), ("ого", ""),
+            ("ому", ""), ("ння", ""), ("ів", ""), ("ам", ""), ("ах", ""),
+            ("ом", ""), ("ем", ""), ("и", ""), ("і", ""), ("а", ""), ("я", ""),
+            ("о", ""), ("е", ""), ("у", ""), ("ю", ""), ("ь", ""))
+
+_EN_STOP = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on",
+            "with", "as", "at", "by", "an", "be", "this", "that", "are", "or")
+_RU_STOP = ("и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как",
+            "а", "то", "все", "она", "так", "его", "но", "да", "ты", "к", "у",
+            "же", "вы", "за", "бы", "по", "ее", "мне")
+_UK_STOP = ("і", "в", "не", "на", "я", "з", "що", "до", "це", "як", "ми",
+            "за", "але", "від", "так", "його", "у", "та", "по", "або")
+
+ANALYZERS: dict[str, Analyzer] = {
+    "en": Analyzer(TOKEN_PATTERN, _EN_STOP, _EN_STEM),
+    "ru": Analyzer(TOKEN_PATTERN_CYRILLIC, _RU_STOP, _RU_STEM),
+    "uk": Analyzer(TOKEN_PATTERN_CYRILLIC, _UK_STOP, _UK_STEM),
+}
 
 
 def tokenize_col(col: Column | str) -> Column:
@@ -82,6 +199,33 @@ TERMVECTOR_SCHEMA = _T.ArrayType(
         ]
     )
 )
+
+
+def make_termvector_udf(analyzer: Analyzer):
+    """Analyzer-parameterized variant of termvector_udf: the SAME Analyzer
+    instance drives index-side tokenization here and query-side analyze_py —
+    the search_analyzer == index analyzer pin (K5). Positions index the
+    post-stopword token sequence (both sides agree, so phrase semantics hold)."""
+
+    def impl(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pat = re.compile(analyzer.token_pattern)
+        stops = set(analyzer.stopwords)
+        for texts in it:
+            out = []
+            for text in texts:
+                if text is None:
+                    out.append([])
+                    continue
+                toks = [analyzer.stem_py(t) for t in pat.findall(text.lower()) if t not in stops]
+                agg: dict[str, list[int]] = {}
+                for i, t in enumerate(toks):
+                    agg.setdefault(t, []).append(i)
+                n = len(toks)
+                out.append([{"term": t, "tf": len(ps), "positions": ps, "doclen": n}
+                            for t, ps in agg.items()])
+            yield pd.Series(out, index=texts.index)
+
+    return F.pandas_udf(impl, TERMVECTOR_SCHEMA)
 
 
 @F.pandas_udf(TERMVECTOR_SCHEMA)

@@ -61,28 +61,30 @@ class InvertedIndex:
     dstats: DataFrame
     cstats: DataFrame
     boosts: dict[int, float] = dc_field(default_factory=lambda: dict(DEFAULT_BOOSTS))
+    analyzer: object | None = None  # functions.analyze.Analyzer; None = identity
 
     @classmethod
     def build(cls, corpus: DataFrame, num_shards: int = 3, fields: dict[int, str] | None = None,
-              scale_ids: bool | str = False) -> "InvertedIndex":
+              scale_ids: bool | str = False, analyzer=None) -> "InvertedIndex":
         docs = build_docs(corpus, num_shards=num_shards, scale_ids=scale_ids)
         # fast termvector postings (bit-identical to the groupBy construction,
         # tests/test_postings_fast.py) — no (term, doc) shuffle, doclen inline
-        postings = build_postings_fast(docs, fields=fields)
-        dstats = doclens_from_docs(docs, fields=fields)
-        return cls(docs, postings, term_stats(postings), dstats, collection_stats(dstats))
+        postings = build_postings_fast(docs, fields=fields, analyzer=analyzer)
+        dstats = doclens_from_docs(docs, fields=fields, analyzer=analyzer)
+        return cls(docs, postings, term_stats(postings), dstats, collection_stats(dstats),
+                   analyzer=analyzer)
 
     @classmethod
-    def from_documents_table(cls, documents: DataFrame) -> "InvertedIndex":
+    def from_documents_table(cls, documents: DataFrame, analyzer=None) -> "InvertedIndex":
         """Single-field index over the driver testdata `documents` table
         (doc_id, text, ...) — used by the oracle-checked queries()."""
         extra = [c for c in documents.columns if c not in ("doc_id", "text")]
         docs = documents.select("doc_id", F.col("text").alias("content"), *extra)
         fields = {FIELD_CONTENT: "content"}
-        postings = build_postings_fast(docs, fields=fields)
-        dstats = doclens_from_docs(docs, fields=fields)
+        postings = build_postings_fast(docs, fields=fields, analyzer=analyzer)
+        dstats = doclens_from_docs(docs, fields=fields, analyzer=analyzer)
         return cls(docs, postings, term_stats(postings), dstats, collection_stats(dstats),
-                   boosts={FIELD_CONTENT: 1.0})
+                   boosts={FIELD_CONTENT: 1.0}, analyzer=analyzer)
 
     def persist(self) -> "InvertedIndex":
         for df in (self.docs, self.postings, self.tstats, self.dstats, self.cstats):
@@ -148,7 +150,7 @@ class InvertedIndex:
         With highlight=True, adds the bolded snippet (C7) and capitalized title
         (C6) the reference's frontend renders.
         """
-        terms = analyze_query(query)
+        terms = self.analyzer.analyze_py(query) if self.analyzer is not None else analyze_query(query)
         if len(query.strip()) < 3 or not terms:  # length guard, web/app.py:30-31
             return self.docs.sparkSession.createDataFrame([], "doc_id long, score double")
         topk = self.search_terms(terms, k=k, mode=mode)

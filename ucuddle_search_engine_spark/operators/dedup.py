@@ -88,12 +88,19 @@ def minhash_signature_arrays(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = DEFAULT_HASHES,
+    hash_kind: str = "md5",
 ) -> DataFrame:
-    """(doc_id, minhashes array<string>) as ONE shuffle-free projection:
-    tokens → distinct shingles → per-hash array_min of md5 — the num_hashes×
-    fan-out lives inside the expression tree, never in the shuffle."""
-    # the md5 fan-out is the CPU hot spot: make sure it runs at full width even
-    # when the source has few partitions (e.g. one small parquet file)
+    """(doc_id, minhashes array) as ONE shuffle-free projection:
+    tokens → distinct shingles → per-hash array_min — the num_hashes×
+    fan-out lives inside the expression tree, never in the shuffle.
+
+    hash_kind='md5'  — hex-string minhashes, bit-identical to the DuckDB
+                       oracle (the correctness-gated variant);
+    hash_kind='xx64' — 64-bit xxhash64 longs, the production fast path:
+                       no hex formatting, 8-byte shuffle keys instead of
+                       32-char strings, same LSH guarantees."""
+    # the hash fan-out is the CPU hot spot: make sure it runs at full width
+    # even when the source has few partitions (e.g. one small parquet file)
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
@@ -101,12 +108,18 @@ def minhash_signature_arrays(
     per_doc = toks.select(
         F.col(id_col).alias("doc_id"), shingle_set_col(F.col("_toks"), DEFAULT_SHINGLE).alias("sset")
     )
-    minhashes = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("sset"), lambda s: F.md5(F.concat_ws(":", s, i.cast("string"))))
-        ),
-    )
+    if hash_kind == "xx64":
+        minhashes = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(F.col("sset"), lambda s: F.xxhash64(s, i))),
+        )
+    else:
+        minhashes = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(F.col("sset"), lambda s: F.md5(F.concat_ws(":", s, i.cast("string"))))
+            ),
+        )
     return per_doc.filter(F.size("sset") > 0).select("doc_id", minhashes.alias("minhashes"))
 
 
@@ -117,22 +130,30 @@ def lsh_candidate_pairs(
     num_hashes: int = DEFAULT_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = DEFAULT_SHINGLE,
+    hash_kind: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a < b): docs sharing ≥1 identical band.
 
-    band key = md5(concat of the band's minhashes in hash_id order); pairs come
+    band key = hash of the band's minhashes in hash_id order; pairs come
     from a self-join on (band_id, band_key) — a bucket-local join, never
     all-pairs. Hot buckets (boilerplate docs) are the skew point; AQE skew-join
-    splitting plus the band-key's md5 spread keep tasks bounded.
+    splitting plus the band-key's hash spread keep tasks bounded.
+    hash_kind: 'md5' = oracle-portable hex strings; 'xx64' = 64-bit fast path.
     """
-    sig = minhash_signature_arrays(df, id_col, text_col, num_hashes)
+    sig = minhash_signature_arrays(df, id_col, text_col, num_hashes, hash_kind=hash_kind)
     rows_per_band = num_hashes // bands
-    # band key = md5 of the band's minhashes concatenated in hash_id order
+    # band key = hash of the band's minhashes in hash_id order
     # (array slice preserves order; mirrors ORDER BY hash_id in the SQL oracle)
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(F.concat_ws("|", F.slice("minhashes", b * rows_per_band + F.lit(1), rows_per_band))),
-    )
+    if hash_kind == "xx64":
+        band_keys = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(F.slice("minhashes", b * rows_per_band + F.lit(1), rows_per_band)),
+        )
+    else:
+        band_keys = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(F.concat_ws("|", F.slice("minhashes", b * rows_per_band + F.lit(1), rows_per_band))),
+        )
     banded = sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
     a = banded.alias("a")
     b = banded.alias("b")

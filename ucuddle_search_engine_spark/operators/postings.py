@@ -105,21 +105,26 @@ def build_postings(docs: DataFrame, fields: dict[int, str] | None = None, id_col
     return out
 
 
-def build_postings_fast(docs: DataFrame, fields: dict[int, str] | None = None, id_col: str = "doc_id") -> DataFrame:
+def build_postings_fast(docs: DataFrame, fields: dict[int, str] | None = None, id_col: str = "doc_id",
+                        analyzer=None) -> DataFrame:
     """Shuffle-free postings: per-doc term vectors from the Arrow analyzer UDF,
     exploded (narrow) — identical rows to build_postings (tested), but the
     (term, doc_id) aggregation happens inside each document instead of in a
     cluster-wide groupBy. With doclen emitted alongside, the index build's only
-    wide exchange is the final repartition by (shard, term)."""
-    from ..functions.analyze import termvector_udf
+    wide exchange is the final repartition by (shard, term).
 
+    analyzer: optional functions.analyze.Analyzer (stop/stem/Unicode chain);
+    None = the identity analyzer (backward-compatible default)."""
+    from ..functions.analyze import make_termvector_udf, termvector_udf
+
+    tv_udf = termvector_udf if analyzer is None else make_termvector_udf(analyzer)
     if fields is None:
         fields = {FIELD_CONTENT: "content", FIELD_TITLE: "title"}
     parts = []
     for field_id, col in fields.items():
         tv = docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(termvector_udf(F.col(col))).alias("p"),
+            F.explode(tv_udf(F.col(col))).alias("p"),
         )
         parts.append(
             tv.select(
@@ -137,17 +142,21 @@ def build_postings_fast(docs: DataFrame, fields: dict[int, str] | None = None, i
     return out
 
 
-def doclens_from_docs(docs: DataFrame, fields: dict[int, str] | None = None, id_col: str = "doc_id") -> DataFrame:
+def doclens_from_docs(docs: DataFrame, fields: dict[int, str] | None = None, id_col: str = "doc_id",
+                      analyzer=None) -> DataFrame:
     """doc_stats straight from the docs table (one cheap projection instead of
-    re-aggregating the exploded postings): doclen(field) = token count. Uses
-    the precomputed docs.doclen column for the content field when present —
-    no content re-tokenize."""
+    re-aggregating the exploded postings): doclen(field) = token count AFTER
+    analysis (stopwords removed — ES counts field length the same way). Uses
+    the precomputed docs.doclen column for the content field when present and
+    no custom analyzer is set — no content re-tokenize."""
     if fields is None:
         fields = {FIELD_CONTENT: "content", FIELD_TITLE: "title"}
     parts = []
     for field_id, col in fields.items():
-        if field_id == FIELD_CONTENT and "doclen" in docs.columns:
+        if field_id == FIELD_CONTENT and "doclen" in docs.columns and analyzer is None:
             dl = F.col("doclen")
+        elif analyzer is not None:
+            dl = F.size(analyzer.tokens_col(col)).cast("long")
         else:
             dl = F.size(tokenize_col(col)).cast("long")
         parts.append(
