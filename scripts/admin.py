@@ -32,10 +32,11 @@ from ucuddle_search_engine_spark.session import get_spark
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["describe", "last-id", "search", "delete-docs", "drop"])
+    ap.add_argument("cmd", choices=["describe", "last-id", "search", "delete-docs", "drop", "alter"])
     ap.add_argument("--index", required=True)
     ap.add_argument("--query")
     ap.add_argument("--ids")
+    ap.add_argument("--add-column", help="name:type[:default] for `alter` (PutMapping analogue)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--n", type=int, default=1)
     ap.add_argument("--mode", default="and", choices=["and", "or"])
@@ -61,6 +62,15 @@ def main() -> None:
         searcher = load_searcher(spark, args.index)
         for row in searcher.search_terms(analyze_query(args.query), k=args.k, mode=args.mode).collect():
             print(f"{row['doc_id']}\t{row['score']:.6f}")
+    elif args.cmd == "alter":  # PutMapping dance (elastic_settings.go:35-92)
+        from ucuddle_search_engine_spark.plans.build_index import add_docs_column
+
+        parts = args.add_column.split(":")
+        name, dtype = parts[0], parts[1]
+        default = parts[2] if len(parts) > 2 else None
+        add_docs_column(spark, args.index, name, dtype, default)
+        print(f"added column {name} {dtype} default={default}")
+        spark.read.parquet(f"{args.index}/docs").printSchema()
     elif args.cmd == "delete-docs":  # deleting (elastic_CRUD.go:141-183)
         # Soft delete: append tombstones; search anti-filters them until the
         # next rebuild (ES delete-until-merge). The docs/unit=N layout that

@@ -143,6 +143,27 @@ def test_tombstoned_docs_vanish_from_results(spark, corpus, tmp_path_factory):
         assert got == want
 
 
+def test_alter_add_column_preserves_layout(spark, corpus, tmp_path_factory):
+    """Schema evolution (PutMapping analogue): add a typed column with a
+    default to the docs dataset per unit; unit layout and resume skip-logic
+    must survive."""
+    from ucuddle_search_engine_spark.plans.build_index import add_docs_column
+
+    out = str(tmp_path_factory.mktemp("idx_alter"))
+    build_index_resumable(spark, corpus, out, n_units=N_UNITS)
+    add_docs_column(spark, out, "stars", "int", 0)
+
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    assert "stars" in docs.columns
+    assert docs.filter(F.col("stars") != 0).count() == 0
+    assert sorted(os.listdir(os.path.join(out, "docs"))) == [f"unit={i}" for i in range(N_UNITS)]
+    with pytest.raises(ValueError):
+        add_docs_column(spark, out, "stars", "int", 0)
+    # resume still no-ops: fingerprints live in the manifest, not the files
+    again = build_index_resumable(spark, corpus, out, n_units=N_UNITS)
+    assert again["completed_units"] == 0
+
+
 def test_df_invariant_and_postings_sidecar(spark, corpus, tmp_path_factory):
     """Σ block n per (term, field) across the store == true document frequency;
     the optional positions sidecar serves phrase/highlight from disk."""

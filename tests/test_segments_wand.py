@@ -127,7 +127,7 @@ def _assert_same(a, b, terms, mode):
 
 def test_wand_head_terms(idx, searcher):
     for mode in ("or", "and"):
-        for algo in ("wand", "exact", "auto"):
+        for algo in ("wand", "exact", "auto", "wand_loop"):
             _assert_same(
                 _exact(idx, QUERY_TERMS_HEAD, mode),
                 _wand(searcher, QUERY_TERMS_HEAD, mode, algorithm=algo),

@@ -44,6 +44,39 @@ def test_stream_postings_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == exp.count()
 
 
+def test_streamed_compaction_equals_batch_store(spark, tmp_path):
+    """compact_streamed_postings remaps the stream's md5 doc keys to dense
+    ranks and must produce BLOCK-IDENTICAL segments to a batch build over the
+    same corpus (same shards, block sizes, compressed bytes)."""
+    from ucuddle_search_engine_spark.operators.postings import build_docs, build_postings_fast, doclens_from_docs, collection_stats, FIELD_CONTENT
+    from ucuddle_search_engine_spark.operators.segments import build_segments
+    from ucuddle_search_engine_spark.streaming.ingest import compact_streamed_postings
+
+    corpus_dir = str(tmp_path / "c_in")
+    out_dir = str(tmp_path / "p_out")
+    ckpt = str(tmp_path / "ck")
+    corpus = synth_corpus(spark, 150, partitions=2).cache()
+    corpus.write.mode("overwrite").parquet(corpus_dir)
+    stream_postings(spark, corpus_dir, out_dir, ckpt).awaitTermination(120)
+
+    compacted = compact_streamed_postings(spark, corpus_dir, out_dir, num_shards=3)
+
+    docs = build_docs(corpus, num_shards=3)
+    batch_postings = build_postings_fast(docs, fields={FIELD_CONTENT: "content"})
+    dstats = doclens_from_docs(docs, fields={FIELD_CONTENT: "content"})
+    batch = build_segments(batch_postings, dstats, collection_stats(dstats), num_shards=3)
+
+    def canon(df):
+        return sorted(
+            (int(r["shard"]), r["term"], int(r["field"]), int(r["block_no"]),
+             bytes(r["doc_bytes"]).hex(), bytes(r["tf_bytes"]).hex(), bytes(r["dl_bytes"]).hex(),
+             round(r["max_impact"], 12))
+            for r in df.collect()
+        )
+
+    assert canon(compacted) == canon(batch)
+
+
 def test_multimodal_plumbing(spark, documents):
     media = attach_fake_payload(documents)
     assert media.schema.simpleString() == (

@@ -1,0 +1,79 @@
+"""1M-doc store query-latency benchmark (BENCH/million.json).
+
+Builds (once, cached) the full layout-as-pushdown store — docs + tb-partitioned
+segments + tstats — at .data/million_store via the resumable build, then
+measures cold + warm top-k latency over a head/mid/tail query mix with a
+prepared searcher (term stats collected once; every query is ONE Spark job
+over a directory-pruned, row-group-pruned segment scan).
+
+Run: python tools/bench_million.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from ucuddle_search_engine_spark.plans.build_index import build_index_resumable, load_searcher  # noqa: E402
+from ucuddle_search_engine_spark.session import get_spark  # noqa: E402
+
+CORPUS = "/root/repo/.data/corpus_1000000"
+STORE = "/root/repo/.data/million_store"
+N_DOCS = 1_000_000
+
+QUERIES = [
+    (["t0", "t1"], "or"),
+    (["t0", "t1", "t2", "t3"], "or"),
+    (["t50", "t120", "t300"], "or"),
+    (["t0", "t500", "t4000"], "or"),
+    (["t10", "t40"], "and"),
+    (["t7", "t900", "t12000"], "and"),
+    (["module", "t3"], "or"),
+    (["t33333"], "or"),
+]
+
+
+def main() -> None:
+    spark = get_spark("bench_million", cores=16, shuffle_partitions=32)
+    out: dict = {"n_docs": N_DOCS}
+    if not (Path(STORE) / "build_stats.json").exists():
+        corpus = spark.read.parquet(CORPUS)
+        t0 = time.time()
+        stats = build_index_resumable(spark, corpus, STORE, n_units=4, num_shards=3)
+        out["build_s"] = round(time.time() - t0, 1)
+        out["docs_per_sec"] = round(N_DOCS / out["build_s"], 1)
+        assert not stats["crashed"]
+    else:
+        prev = json.loads((Path(STORE) / "build_stats.json").read_text())
+        out["build_s"] = round(prev["wall_s"], 1)
+        out["docs_per_sec"] = round(N_DOCS / prev["wall_s"], 1)
+
+    searcher = load_searcher(spark, STORE).prepare()
+    lats = []
+    cold = None
+    for rep in range(3):
+        for terms, mode in QUERIES:
+            t0 = time.time()
+            searcher.search_terms(terms, k=10, mode=mode).collect()
+            dt = time.time() - t0
+            if cold is None:
+                cold = dt
+            else:
+                lats.append(dt)
+    lats.sort()
+    out["q_cold_ms"] = round(cold * 1000, 1)
+    out["q_p50_ms"] = round(lats[len(lats) // 2] * 1000, 1)
+    out["q_p95_ms"] = round(lats[int(len(lats) * 0.95) - 1] * 1000, 1)
+    out["n_queries"] = len(lats) + 1
+
+    with open("/root/repo/BENCH/million.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

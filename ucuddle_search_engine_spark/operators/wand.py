@@ -30,6 +30,13 @@ from .bm25 import B, K1, DEFAULT_BOOSTS
 
 INF = np.iinfo(np.int64).max
 
+# Stored block bounds (max_impact) and live contributions are computed from
+# avgdl values that may differ at the last ULP (e.g. cstats persisted through
+# JSON). Bounds must stay true UPPER bounds, so every ub is inflated by this
+# relative margin before any pruning comparison — a few extra decoded blocks,
+# never a dropped k-boundary tie.
+UB_EPS = 1e-9
+
 
 class _PList:
     """One (term, field) decoded posting list with block metadata."""
@@ -46,7 +53,7 @@ class _PList:
         self.avgdl = avgdl
         ns = blocks["n"].to_numpy(np.int64)
         self.block_ends = np.cumsum(ns) - 1  # index of last posting per block
-        self.block_ubs = blocks["max_impact"].to_numpy(np.float64) * weight_idf
+        self.block_ubs = blocks["max_impact"].to_numpy(np.float64) * weight_idf * (1.0 + UB_EPS)
         if dead is not None and len(dead) and len(self.docs):
             # Tombstones (ES soft-delete until merge): drop dead postings BEFORE
             # any top-k cut; block upper bounds over the superset stay valid.
@@ -162,6 +169,134 @@ def _wand_or(lists: list[_PList], k: int) -> list[tuple[int, float]]:
     return sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))[:k]
 
 
+class _BlockList:
+    """Lazy per-block view of one (term, field[, unit]) posting chain: block
+    metadata (ub, doc range) without decoding — decode happens per selected
+    block. Feeds the vectorized block-max scorer."""
+
+    __slots__ = ("ubs", "min_docs", "max_docs", "ns", "weight_idf", "avgdl",
+                 "doc_bytes", "tf_bytes", "dl_bytes")
+
+    def __init__(self, blocks: pd.DataFrame, weight_idf: float, avgdl: float):
+        blocks = blocks.sort_values("block_no")  # doc-ordered, disjoint ranges
+        self.ubs = blocks["max_impact"].to_numpy(np.float64) * weight_idf * (1.0 + UB_EPS)
+        self.min_docs = blocks["min_doc"].to_numpy(np.int64)
+        self.max_docs = blocks["max_doc"].to_numpy(np.int64)
+        self.ns = blocks["n"].to_numpy(np.int64)
+        self.weight_idf = weight_idf
+        self.avgdl = avgdl
+        self.doc_bytes = list(blocks["doc_bytes"])
+        self.tf_bytes = list(blocks["tf_bytes"])
+        self.dl_bytes = list(blocks["dl_bytes"])
+
+    def range_max_ub(self, lo: int, hi: int) -> float:
+        """Max block ub over blocks whose doc range intersects [lo, hi]."""
+        i0 = int(np.searchsorted(self.max_docs, lo, side="left"))
+        i1 = int(np.searchsorted(self.min_docs, hi, side="right"))
+        return float(self.ubs[i0:i1].max()) if i0 < i1 else 0.0
+
+    def decode(self, idxs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Selected blocks → (doc_ids, exact BM25 contributions)."""
+        if len(idxs) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs = np.concatenate([decode_doc_ids(self.doc_bytes[i]) for i in idxs]).astype(np.int64)
+        tfs = np.concatenate([vb_decode(self.tf_bytes[i]) for i in idxs]).astype(np.float64)
+        dls = np.concatenate([vb_decode(self.dl_bytes[i]) for i in idxs]).astype(np.float64)
+        contrib = self.weight_idf * tfs / (tfs + K1 * (1 - B + B * dls / self.avgdl))
+        return docs, contrib
+
+
+def _blockmax_or_numpy(lists: list[_BlockList], k: int,
+                       dead: np.ndarray | None = None) -> list[tuple[int, float]]:
+    """Vectorized block-max disjunctive top-k (exact scores) — the WAND
+    replacement whose inner work is numpy over whole blocks, not per-posting
+    Python:
+
+    1. SEED: decode the globally highest-ub blocks until ≥ ~4k postings are
+       in hand; scatter-add partials; θ = k-th best partial score (a valid
+       lower bound of the true k-th best).
+    2. PRUNE: a remaining block b (list L, doc range [lo,hi]) can only matter
+       if ub_b + Σ_{L'≠L} max-ub of L' blocks overlapping [lo,hi] ≥ θ. Blocks
+       below θ are skipped WITHOUT decoding. A skipped block only contains
+       docs whose total score < θ, so they can never enter the top-k — partial
+       scores they may get from decoded blocks stay < θ too. Exactness holds.
+    3. SCORE: decode survivors, scatter-add everything, lexsort top-k.
+    """
+    lists = [L for L in lists if len(L.ubs)]
+    if not lists:
+        return []
+    # ---- seed: globally top-ub blocks until ~4k postings are decoded ------
+    owner = np.concatenate([np.full(len(L.ubs), li, np.int64) for li, L in enumerate(lists)])
+    bidx = np.concatenate([np.arange(len(L.ubs), dtype=np.int64) for L in lists])
+    ubs_all = np.concatenate([L.ubs for L in lists])
+    ns_all = np.concatenate([L.ns for L in lists])
+    order = np.argsort(-ubs_all, kind="stable")
+    target = max(4 * k, 4096)
+    csum = np.cumsum(ns_all[order])
+    n_seed = int(np.searchsorted(csum, target, side="left")) + 1
+    seed_mask = np.zeros(len(ubs_all), dtype=bool)
+    seed_mask[order[:n_seed]] = True
+
+    docs_parts: list[np.ndarray] = []
+    contrib_parts: list[np.ndarray] = []
+    for li, L in enumerate(lists):
+        sel = bidx[(owner == li) & seed_mask]
+        d, c = L.decode(np.sort(sel))
+        docs_parts.append(d)
+        contrib_parts.append(c)
+
+    def topk_from(parts_d, parts_c):
+        docs_all = np.concatenate(parts_d)
+        contribs = np.concatenate(parts_c)
+        if dead is not None and len(dead) and len(docs_all):
+            alive = ~np.isin(docs_all, dead)
+            docs_all, contribs = docs_all[alive], contribs[alive]
+        if not len(docs_all):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        uniq, inv = np.unique(docs_all, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(scores, inv, contribs)
+        return uniq, scores
+
+    uniq, scores = topk_from(docs_parts, contrib_parts)
+    if len(uniq) >= k:
+        theta = float(np.partition(scores, -k)[-k])
+    else:
+        theta = -np.inf
+
+    # ---- prune + score survivors ------------------------------------------
+    if np.isfinite(theta):
+        for li, L in enumerate(lists):
+            rest = bidx[(owner == li) & ~seed_mask]
+            if not len(rest):
+                continue
+            keep = []
+            for j in rest:
+                bound = L.ubs[j]
+                if bound < theta:  # alone it can't reach θ — add overlap help
+                    lo, hi = int(L.min_docs[j]), int(L.max_docs[j])
+                    for lj, O in enumerate(lists):
+                        if lj != li:
+                            bound += O.range_max_ub(lo, hi)
+                            if bound >= theta:
+                                break
+                if bound >= theta:
+                    keep.append(j)
+            d, c = L.decode(np.asarray(keep, dtype=np.int64))
+            docs_parts.append(d)
+            contrib_parts.append(c)
+    else:
+        for li, L in enumerate(lists):
+            rest = bidx[(owner == li) & ~seed_mask]
+            d, c = L.decode(np.sort(rest))
+            docs_parts.append(d)
+            contrib_parts.append(c)
+
+    uniq, scores = topk_from(docs_parts, contrib_parts)
+    order = np.lexsort((uniq, -scores))[:k]
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
 def _exact_or_numpy(lists: list[_PList], k: int) -> list[tuple[int, float]]:
     """Vectorized disjunctive top-k: concatenate all decoded postings, one
     np.unique + scatter-add, lexsort top-k. No pruning, but ~100× less Python
@@ -226,6 +361,9 @@ class SegmentSearcher:
         self.tombstones = sorted(set(tombstones)) if tombstones else []
         self._coll: dict | None = None
         self._tstats_cache: dict | None = None
+        # per-term memo for the no-prepare() path: repeat queries never
+        # re-read the tstats parquet; missing terms are remembered too
+        self._term_memo: dict[tuple[str, int], float | None] = {}
 
     def prepare(self) -> "SegmentSearcher":
         """Collect the term-stats dictionary once (one job) so every query
@@ -259,9 +397,20 @@ class SegmentSearcher:
                 for t in terms for f in fields if (t, f) in self._tstats_cache
             }
         else:
+            missing = [t for t in terms if any((t, f) not in self._term_memo for f in fields)]
+            if missing:
+                found = {
+                    (r["term"], r["field"]): r["df"]
+                    for r in self.tstats.filter(
+                        F.col("term").isin(missing) & F.col("field").isin(fields)
+                    ).collect()
+                }
+                for t in missing:
+                    for f in fields:
+                        self._term_memo[(t, f)] = found.get((t, f))
             stats = {
-                (r["term"], r["field"]): r["df"]
-                for r in self.tstats.filter(F.col("term").isin(terms) & F.col("field").isin(fields)).collect()
+                (t, f): self._term_memo[(t, f)]
+                for t in terms for f in fields if self._term_memo.get((t, f)) is not None
             }
         coll = self._collection()
         if mode == "and":
@@ -299,32 +448,41 @@ class SegmentSearcher:
         def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) == 0:
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
-            lists_by_term: dict[str, list[_PList]] = {}
+            dead = b_dead.value if b_dead is not None else None
             # Stores written unit-by-unit (plans/build_index.py) reuse block_no
             # ranges across units with overlapping doc ranges; each unit's
-            # chain IS doc-sorted, so build one _PList per (term, field, unit)
+            # chain IS doc-sorted, so build one list per (term, field, unit)
             # — WAND/intersect/exact all handle multiple lists per term.
             gcols = ["term", "field", "unit"] if "unit" in pdf.columns else ["term", "field"]
+            groups = []
+            total = 0
             for gkey, g in pdf.groupby(gcols, sort=False):
                 t, f = gkey[0], gkey[1]
                 key = (t, int(f))
                 if key not in b_widf.value:
                     continue
-                L = _PList(g, b_widf.value[key], b_avgdl.value[key],
-                           dead=b_dead.value if b_dead is not None else None)
-                lists_by_term.setdefault(t, []).append(L)
+                groups.append((t, key, g))
+                total += int(g["n"].sum())
             if mode == "and":
+                lists_by_term: dict[str, list[_PList]] = {}
+                for t, key, g in groups:
+                    L = _PList(g, b_widf.value[key], b_avgdl.value[key], dead=dead)
+                    lists_by_term.setdefault(t, []).append(L)
                 if len(lists_by_term) < nterms:
                     top = []
                 else:
                     top = _intersect_and(lists_by_term, k)
+            elif algorithm == "wand" or (algorithm == "auto" and total >= SegmentSearcher.WAND_MIN_POSTINGS):
+                # vectorized block-max scorer: decodes only blocks whose
+                # interval bound can beat θ (numpy-blocked, no per-posting loop)
+                blists = [_BlockList(g, b_widf.value[key], b_avgdl.value[key]) for _, key, g in groups]
+                top = _blockmax_or_numpy(blists, k, dead=dead)
+            elif algorithm == "wand_loop":
+                flat = [_PList(g, b_widf.value[key], b_avgdl.value[key], dead=dead) for _, key, g in groups]
+                top = _wand_or(flat, k)
             else:
-                flat = [L for ls in lists_by_term.values() for L in ls]
-                total = sum(len(L.docs) for L in flat)
-                if algorithm == "wand" or (algorithm == "auto" and total >= SegmentSearcher.WAND_MIN_POSTINGS):
-                    top = _wand_or(flat, k)
-                else:
-                    top = _exact_or_numpy(flat, k)
+                flat = [_PList(g, b_widf.value[key], b_avgdl.value[key], dead=dead) for _, key, g in groups]
+                top = _exact_or_numpy(flat, k)
             return pd.DataFrame(top, columns=["doc_id", "score"]).astype({"doc_id": "int64", "score": "float64"})
 
         per_shard = matched.groupBy("shard").applyInPandas(run_shard, schema="doc_id long, score double")

@@ -209,7 +209,11 @@ def build_index_resumable(
     segs_all = spark.read.parquet(os.path.join(out_dir, "segments"))
     tstats = segs_all.groupBy("term", "field").agg(F.sum("n").alias("df"))
     tstats.write.mode("overwrite").parquet(os.path.join(out_dir, "tstats"))
-    cstats.toPandas().to_json(os.path.join(out_dir, "cstats.json"), orient="records")
+    # json.dump via repr round-trips doubles exactly (pandas to_json clips at
+    # 15 significant digits, which would shift avgdl — and thus recomputed
+    # scores — a ULP away from the stored max_impact bounds)
+    with open(os.path.join(out_dir, "cstats.json"), "w") as f:
+        json.dump([r.asDict() for r in cstats.collect()], f)
 
     n_total = docs.count()
     docs.unpersist()
@@ -223,6 +227,32 @@ def build_index_resumable(
     with open(os.path.join(out_dir, "build_stats.json"), "w") as f:
         json.dump(stats, f)
     return stats
+
+
+def add_docs_column(spark: SparkSession, out_dir: str, name: str, dtype: str,
+                    default=None) -> None:
+    """Schema evolution on the docs dataset — the reference's close →
+    PutMapping → open dance (elastic-interaction/elastic_settings.go:35-92)
+    expressed as a per-unit parquet rewrite (Iceberg `ALTER TABLE ADD COLUMN`
+    when a catalog is configured; plain parquet needs the rewrite).
+
+    Each docs/unit=N directory is rewritten in place with the new column so
+    the unit layout resume depends on is preserved; readers see the column
+    immediately (no mergeSchema needed)."""
+    docs_root = os.path.join(out_dir, "docs")
+    units = sorted(d for d in os.listdir(docs_root) if d.startswith("unit="))
+    targets = [os.path.join(docs_root, u) for u in units] if units else [docs_root]
+    for path in targets:
+        df = spark.read.parquet(path)
+        if name in df.columns:
+            raise ValueError(f"column {name!r} already exists")
+        out = df.withColumn(name, F.lit(default).cast(dtype))
+        tmp = path + ".tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(path)
+        os.replace(tmp, path)
 
 
 def load_searcher(spark: SparkSession, out_dir: str, boosts: dict[int, float] | None = None) -> SegmentSearcher:

@@ -14,9 +14,18 @@ DataFrame plan as the batch path (plan parity between batch and streaming).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..operators.postings import FIELD_CONTENT, build_postings
+from ..functions.hashing import md5_prefix_long
+from ..operators.postings import FIELD_CONTENT, build_docs, build_postings, doclens_from_docs
+from ..operators.postings import collection_stats
 from ..schema import CORPUS_SCHEMA
+
+
+def _stream_doc_key():
+    """Natural streamed doc identity: md5-prefix long of repo/path (dense ids
+    are impossible mid-stream — future files unknown)."""
+    return md5_prefix_long(F.concat_ws("/", "repo", "path"))
 
 
 def stream_postings(
@@ -33,15 +42,10 @@ def stream_postings(
     md5(repo/path) — the same determinism the batch path gets from dense rank;
     a compaction job can remap to dense ids later.
     """
-    from pyspark.sql import functions as F
-
     src = spark.readStream.schema(CORPUS_SCHEMA).parquet(corpus_dir)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        docs = batch.withColumn(
-            "doc_id",
-            F.conv(F.substring(F.md5(F.concat_ws("/", "repo", "path")), 1, 15), 16, 10).cast("long"),
-        )
+        docs = batch.withColumn("doc_id", _stream_doc_key())
         postings = build_postings(docs, fields={FIELD_CONTENT: "content"})
         postings.write.mode("append").parquet(out_dir)
 
@@ -51,3 +55,37 @@ def stream_postings(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_streamed_postings(
+    spark: SparkSession,
+    corpus_dir: str,
+    postings_dir: str,
+    num_shards: int = 3,
+    block_size: int = 128,
+) -> DataFrame:
+    """The promised dense-id remap + segment encode for a streamed postings
+    sink: once the corpus directory is complete (or at a compaction point),
+    remap the stream's md5-key doc ids to the batch path's dense ranks and
+    encode the SAME compressed segment store a batch build would produce
+    (tests/test_streaming_multimodal.py asserts block-level equality).
+
+    Plan shape: one scan of the corpus for the (hash_id → doc_id, doclen)
+    mapping, one hash join against the streamed postings on hash_id, then the
+    standard single-wide-exchange segment encode. The join key is the md5
+    hash — uniformly distributed, no skew salting needed.
+    """
+    from ..operators.segments import build_segments
+
+    corpus = spark.read.parquet(corpus_dir)
+    docs = build_docs(corpus, num_shards=num_shards)
+    mapping = docs.select(_stream_doc_key().alias("hash_id"), "doc_id")
+    streamed = spark.read.parquet(postings_dir)
+    remapped = (
+        streamed.withColumnRenamed("doc_id", "hash_id")
+        .join(mapping, "hash_id")
+        .drop("hash_id")
+    )
+    dstats = doclens_from_docs(docs, fields={FIELD_CONTENT: "content"})
+    cstats = collection_stats(dstats)
+    return build_segments(remapped, dstats, cstats, num_shards=num_shards, block_size=block_size)
