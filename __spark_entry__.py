@@ -521,6 +521,18 @@ def q_pivot_lineitem(spark, sf_dir):
     )
 
 
+def q_paged_search(spark, sf_dir):
+    """Result pagination (web/app.py:43 more_links; ES from+size): page 2
+    (offset 10, size 10) of the disjunctive ranking."""
+    documents = load_table(spark, sf_dir, "documents")
+    idx = InvertedIndex.from_documents_table(documents)
+    return idx.search_terms(BM25_OR_TERMS, k=10, mode="or", round_dp=6, offset=10)
+
+
+def _paged_sql() -> str:
+    return _bm25_sql(BM25_OR_TERMS, "or", k=10).replace("LIMIT 10", "LIMIT 10 OFFSET 10")
+
+
 FUZZY_TERMS = ["windoq", "strem"]  # typos of corpus terms (window, stream)
 
 
@@ -675,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_lineitem": q_pivot_lineitem,
         "lang_routed_search": q_lang_routed_search,
         "fuzzy_match": q_fuzzy_match,
+        "paged_search": q_paged_search,
     }
 
 
@@ -684,6 +697,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_or": _bm25_sql(BM25_OR_TERMS, "or"),
         "lang_routed_search": _lang_routed_sql(),
         "fuzzy_match": _fuzzy_sql(),
+        "paged_search": _paged_sql(),
         "term_stats_top": f"""
             WITH toks AS ({TOKS_SQL})
             SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf

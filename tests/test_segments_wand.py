@@ -159,3 +159,20 @@ def test_title_boost_present(idx, searcher):
     terms = ["module", "t3"]
     for mode in ("or", "and"):
         _assert_same(_exact(idx, terms, mode), _wand(searcher, terms, mode), terms, mode)
+
+
+def test_pagination(idx, searcher):
+    """ES from+size: page slices concatenate to the unpaged ranking, for both
+    the exact index and the segment searcher."""
+    terms = ["t0", "t1"]
+    full = _exact(idx, terms, "or", k=20)
+    p1 = _exact(idx, terms, "or", k=10)
+    p2 = [(r["doc_id"], r["score"]) for r in
+          idx.search_terms(terms, k=10, mode="or", offset=10).collect()]
+    assert p1 + p2 == full
+
+    sfull = _wand(searcher, terms, "or", k=20)
+    s1 = _wand(searcher, terms, "or", k=10)
+    s2 = [(r["doc_id"], r["score"]) for r in
+          searcher.search_terms(terms, k=10, mode="or", offset=10, algorithm="wand").collect()]
+    assert s1 + s2 == sfull

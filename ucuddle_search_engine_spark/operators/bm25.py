@@ -119,7 +119,7 @@ class InvertedIndex:
         )
 
     def search_terms(self, terms: list[str], k: int = 20, mode: str = "and",
-                     round_dp: int | None = None) -> DataFrame:
+                     round_dp: int | None = None, offset: int = 0) -> DataFrame:
         """Top-k (doc_id, score) for analyzed query terms.
 
         mode='and' ⇔ the reference's minimum_should_match "100%" (every term in
@@ -127,6 +127,8 @@ class InvertedIndex:
         round_dp: round the score BEFORE orderBy/limit so ties at the k
         boundary break by doc_id identically to a rounded-score oracle
         (summation-order ulps otherwise make the cut flaky).
+        offset: pagination (the reference's more_links / ES from+size,
+        web/app.py:43) — rows offset..offset+k of the global ranking.
         """
         terms = sorted(set(terms))
         scored = self.score_terms(terms)
@@ -137,11 +139,12 @@ class InvertedIndex:
         if mode == "and":
             agg = agg.filter(F.col("_nterms") == len(terms))
         score = F.round("score", round_dp) if round_dp is not None else F.col("score")
-        return (
-            agg.select("doc_id", score.alias("score"))
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(k)
+        out = agg.select("doc_id", score.alias("score")).orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
         )
+        if offset:
+            out = out.offset(offset)
+        return out.limit(k)
 
     def search(self, query: str, k: int = 20, mode: str = "and", highlight: bool = False) -> DataFrame:
         """Full read path: analyze query with the SAME analyzer (K5 parity,

@@ -386,7 +386,13 @@ class SegmentSearcher:
     WAND_MIN_POSTINGS = 1_000_000
 
     def search_terms(self, terms: list[str], k: int = 20, mode: str = "and",
-                     algorithm: str = "auto") -> DataFrame:
+                     algorithm: str = "auto", offset: int = 0) -> DataFrame:
+        """offset: pagination (ES from+size) — each shard returns its top
+        (offset+k), which provably contains the global rows offset..offset+k
+        (shards partition docs disjointly), then the merge skips offset."""
+        if offset:
+            inner = self.search_terms(terms, k=offset + k, mode=mode, algorithm=algorithm)
+            return inner.orderBy(F.col("score").desc(), F.col("doc_id").asc()).offset(offset).limit(k)
         terms = sorted(set(terms))
         spark = self.segments.sparkSession
         fields = sorted(self.boosts)
