@@ -22,16 +22,22 @@ def main() -> None:
     ap.add_argument("--query", required=True)
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--mode", default="and", choices=["and", "or"])
+    ap.add_argument("--offset", type=int, default=0, help="pagination (ES from)")
+    ap.add_argument("--highlight", action="store_true",
+                    help="bolded snippets from the positions sidecar (C7)")
     args = ap.parse_args()
 
     spark = get_spark("search")
     if len(args.query.strip()) < 3:  # length guard (web/app.py:30)
         print("query too short")
         return
-    searcher = load_searcher(spark, args.index)
-    terms = analyze_query(args.query)
-    for row in searcher.search_terms(terms, k=args.k, mode=args.mode).collect():
-        print(f"{row['doc_id']}\t{row['score']:.6f}")
+    from ucuddle_search_engine_spark.plans.build_index import search_written
+
+    out = search_written(spark, args.index, args.query, k=args.k, mode=args.mode,
+                         highlight=args.highlight, offset=args.offset)
+    for row in out.collect():
+        extra = f"\t{row['snippet']}" if args.highlight else ""
+        print(f"{row['doc_id']}\t{row['score']:.6f}{extra}")
 
 
 if __name__ == "__main__":

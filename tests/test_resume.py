@@ -188,3 +188,16 @@ def test_df_invariant_and_postings_sidecar(spark, corpus, tmp_path_factory):
     disk_hits = {r["doc_id"]: r["phrase_tf"] for r in phrase_match(postings, ["t0", "t1"]).collect()}
     mem_hits = {r["doc_id"]: r["phrase_tf"] for r in phrase_match(idx.postings, ["t0", "t1"]).collect()}
     assert disk_hits == mem_hits
+
+    # native highlight served ENTIRELY from the written store (stored content
+    # + sidecar positions) must equal the in-memory read path's snippets
+    from ucuddle_search_engine_spark.operators.highlight import highlight_hits
+    from ucuddle_search_engine_spark.plans.build_index import search_written
+
+    disk = {r["doc_id"]: (round(r["score"], 9), r["snippet"])
+            for r in search_written(spark, out, "t0 t1", k=5, mode="or", highlight=True).collect()}
+    topk_mem = idx.search_terms(["t0", "t1"], k=5, mode="or")
+    mem = {r["doc_id"]: (round(r["score"], 9), r["snippet"])
+           for r in highlight_hits(topk_mem, idx.docs, idx.postings, ["t0", "t1"]).collect()}
+    assert disk == mem
+    assert any("<b>" in s for _, s in disk.values())

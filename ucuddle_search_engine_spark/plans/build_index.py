@@ -168,7 +168,9 @@ def build_index_resumable(
         segs = build_segments(postings_u, None, cstats, num_shards=num_shards, block_size=block_size)
         docs_path = os.path.join(out_dir, f"docs/unit={pid}")
         seg_path = os.path.join(out_dir, f"segments/unit={pid}")
-        docs_u.drop("content").write.mode("overwrite").parquet(docs_path)
+        # content is stored like ES stores _source: display + native highlight
+        # (C7) straight from the written store
+        docs_u.write.mode("overwrite").parquet(docs_path)
         # layout-as-pushdown, two levels: tb = md5-hash bucket of the term as a
         # PARTITION column (directory pruning: a query term touches 1/TERM_BUCKETS
         # of the files) + term-sorted rows inside files (row-group min/max pruning)
@@ -227,6 +229,38 @@ def build_index_resumable(
     with open(os.path.join(out_dir, "build_stats.json"), "w") as f:
         json.dump(stats, f)
     return stats
+
+
+def search_written(spark: SparkSession, out_dir: str, query: str, k: int = 10,
+                   mode: str = "and", highlight: bool = False, offset: int = 0):
+    """Full read path over a written store: top-k via the segment searcher,
+    then (optionally) snippets from the positional postings sidecar + stored
+    content — no corpus re-read, no re-scoring.
+
+    Job shape: ONE segment-scan job for the top-k (k rows to the driver),
+    then one pruned sidecar scan for positions+content of exactly those k
+    ids — the sidecar lookup folds the postings and docs joins into a single
+    job instead of a per-hit loop."""
+    from ..functions.analyze import analyze_query
+    from ..operators.highlight import highlight_hits
+
+    searcher = load_searcher(spark, out_dir)
+    terms = analyze_query(query)
+    if len(query.strip()) < 3 or not terms:  # length guard (web/app.py:30-31)
+        return spark.createDataFrame([], "doc_id long, score double")
+    topk = searcher.search_terms(terms, k=k, mode=mode, offset=offset)
+    if not highlight:
+        return topk
+    hits = topk.collect()  # k rows
+    if not hits:
+        return spark.createDataFrame([], "doc_id long, score double, snippet string")
+    postings_path = os.path.join(out_dir, "postings")
+    if not os.path.isdir(postings_path):
+        raise FileNotFoundError("store was built without write_postings=True (no positions sidecar)")
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+    postings = spark.read.parquet(postings_path)
+    lit_topk = spark.createDataFrame(hits)
+    return highlight_hits(lit_topk, docs, postings, terms)
 
 
 def add_docs_column(spark: SparkSession, out_dir: str, name: str, dtype: str,
