@@ -521,6 +521,38 @@ def q_pivot_lineitem(spark, sf_dir):
     )
 
 
+def q_token_counts(spark, sf_dir):
+    """LLM token budgeting over the corpus: whitespace count, analyzer count,
+    and a BPE-ish pre-tokenizer piece count — all regex Column expressions."""
+    from ucuddle_search_engine_spark.functions.textstats import (
+        bpe_token_count,
+        token_count,
+        ws_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_token_count("text").alias("ws_tokens"),
+        token_count("text").alias("re_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+def _token_counts_sql() -> str:
+    from ucuddle_search_engine_spark.functions.textstats import BPE_PATTERN
+
+    bpe = BPE_PATTERN.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+               len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS re_tokens,
+               len(regexp_extract_all(text, '{bpe}')) AS bpe_tokens
+        FROM documents
+    """
+
+
 def q_paged_search(spark, sf_dir):
     """Result pagination (web/app.py:43 more_links; ES from+size): page 2
     (offset 10, size 10) of the disjunctive ranking."""
@@ -688,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_routed_search": q_lang_routed_search,
         "fuzzy_match": q_fuzzy_match,
         "paged_search": q_paged_search,
+        "token_counts": q_token_counts,
     }
 
 
@@ -698,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_routed_search": _lang_routed_sql(),
         "fuzzy_match": _fuzzy_sql(),
         "paged_search": _paged_sql(),
+        "token_counts": _token_counts_sql(),
         "term_stats_top": f"""
             WITH toks AS ({TOKS_SQL})
             SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf

@@ -210,6 +210,40 @@ def test_ann_lsh_recall(emb):
     assert sum(recalls) / len(recalls) >= 0.5  # multiprobe LSH on 64-dim clusters
 
 
+def test_ann_ivf_recall(spark, emb):
+    """IVF: on genuinely clustered data a 2/16-cell probe (12.5% scan) must
+    recall ≥0.9 of the brute-force top-k; a full probe equals brute force
+    exactly. (The driver test embeddings are near-uniform — recall there just
+    tracks scan fraction, so clusters are planted for the pruning assertion.)"""
+    from ucuddle_search_engine_spark.operators.ann import IVFIndex
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((12, 64)) * 3
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(40):
+            rows.append((vid, [float(x) for x in b + 0.3 * rng.standard_normal(64)]))
+            vid += 1
+    clustered = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf = IVFIndex(clustered, n_centroids=16, n_probe=2)
+    vecs = {i: np.array(v) for i, v in rows}
+    recalls = []
+    for qid in [0, 45, 123, 250, 401]:
+        q = list(vecs[qid])
+        exact = {r["vec_id"] for r in cosine_topk_bruteforce(clustered, q, k=10).collect()}
+        approx = {r["vec_id"] for r in ivf.topk(q, k=10).collect()}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    rows2 = emb.collect()
+    vecs2 = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows2}
+    full = IVFIndex(emb, n_centroids=16, n_probe=16)
+    got = [(r["vec_id"], r["cosine"]) for r in full.topk(list(vecs2[0]), k=10).collect()]
+    want = [(r["vec_id"], r["cosine"]) for r in cosine_topk_bruteforce(emb, list(vecs2[0]), k=10).collect()]
+    assert got == want
+
+
 def test_text_stats_shapes(docs, pdocs):
     out = {r["doc_id"]: r for r in text_stats(docs).collect()}
     import re

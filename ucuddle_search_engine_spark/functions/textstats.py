@@ -33,6 +33,27 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens_col(text)).cast("long")
 
 
+# GPT-2-style pre-tokenizer, ASCII form: contractions, space-prefixed letter /
+# digit / punctuation runs, residual spaces. Same pattern string runs in Java
+# regex (Spark), Python re, and RE2 (DuckDB) — no \p classes, no lookahead.
+BPE_PATTERN = "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Pre-tokenizer piece count — the standard proxy for LLM token budgeting
+    at corpus scale (exact BPE merges need the vocab; the piece count bounds
+    it and is pure-regex, whole-stage codegen)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)).cast("long")
+
+
+def ws_token_count(text: Column | str) -> Column:
+    """Whitespace-split token count (the classic wc -w)."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, "\\s+"))).cast("long")
+
+
 def stopword_hits(text: Column | str, lang: str) -> Column:
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.array_intersect(tokens_col(text), sw))

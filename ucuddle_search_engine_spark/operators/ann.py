@@ -72,3 +72,64 @@ def cosine_topk_lsh(emb: DataFrame, query_vec: list[float], k: int = 10, n_plane
     return cosine_topk_bruteforce(
         bucketed.filter(F.col("_bucket").isin(probe)), query_vec, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+class IVFIndex:
+    """Inverted-file ANN over an embedding column — the other standard scale
+    path next to hyperplane LSH: k-means centroids partition the corpus into
+    cells; a query scores only the n_probe nearest cells.
+
+    - TRAIN: deterministic hash-sampled subset (pmod(xxhash64(id), rate)==0)
+      collected to the driver, spherical k-means (Lloyd, seeded numpy) — the
+      standard sampled-training shortcut every IVF build uses; sample size is
+      bounded and independent of corpus size.
+    - ASSIGN: one Arrow-batched pandas UDF (numpy matmul per batch) adds a
+      `_cell` column; persist/write the assigned table partitioned by _cell
+      and the probe filter becomes directory pruning, exactly like the `tb`
+      term buckets of the text index.
+    - QUERY: centroid dots in the driver (n_centroids rows), then brute-force
+      cosine over the probed cells only — scan ≈ n_probe/n_centroids of the
+      corpus.
+    """
+
+    def __init__(self, emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
+                 sample_rate: int = 1, train_iters: int = 8,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.n_probe = n_probe
+        self.id_col = id_col
+        self.vec_col = vec_col
+        sampled = emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_rate)) == 0) \
+            if sample_rate > 1 else emb
+        train = np.array([r[0] for r in sampled.select(vec_col).collect()], dtype=np.float64)
+        train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+        rng = np.random.RandomState(SEED)
+        cents = train[rng.choice(len(train), size=min(n_centroids, len(train)), replace=False)]
+        for _ in range(train_iters):
+            assign = np.argmax(train @ cents.T, axis=1)
+            for c in range(len(cents)):
+                m = train[assign == c]
+                if len(m):
+                    v = m.mean(axis=0)
+                    cents[c] = v / max(np.linalg.norm(v), 1e-12)
+        self.centroids = cents
+
+        cents_b = emb.sparkSession.sparkContext.broadcast(cents)
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        def _cells(vs):
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(mat @ cents_b.value.T, axis=1).astype(np.int32), index=vs.index)
+
+        cell_udf = F.pandas_udf(_cells, T.IntegerType())
+        self.assigned = emb.withColumn("_cell", cell_udf(F.col(vec_col)))
+
+    def topk(self, query_vec: list[float], k: int = 10) -> DataFrame:
+        qv = np.asarray(query_vec, dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        probes = np.argsort(-(self.centroids @ qn))[: self.n_probe].tolist()
+        pruned = self.assigned.filter(F.col("_cell").isin([int(p) for p in probes]))
+        return cosine_topk_bruteforce(pruned, list(query_vec), k=k,
+                                      id_col=self.id_col, vec_col=self.vec_col)
