@@ -95,3 +95,40 @@ def test_written_store_partition_pruning(spark, tmp_path_factory):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "tb#" in ln]
     assert pf, plan[:1500]
     assert "IN (" in pf[0] or "IN(" in pf[0]
+
+
+def test_fuzzy_expansion_plan(spark, documents):
+    """The dictionary expansion must broadcast the tiny query-term side and
+    keep levenshtein JVM-side — no Python UDF, no sort-merge join."""
+    from ucuddle_search_engine_spark.operators.fuzzy import expand_terms
+
+    dictionary = spark.createDataFrame(
+        [(f"t{i}", i + 1) for i in range(500)], "term string, df long"
+    )
+    plan = _plan(expand_terms(dictionary, ["windoq", "strem"]))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan  # broadcast q-side
+    assert "levenshtein" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_neardup_plan(spark):
+    """Banded-LSH near-dup: candidates come from a hash join on the bucket
+    key, vectors join back by id — never a nested-loop all-pairs."""
+    from ucuddle_search_engine_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_neardup_pairs(emb, 0.9, bucketed=True))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
+def test_lang_routed_search_plan(spark, documents):
+    """Routing adds no Python to the hot path: the per-lang index's search is
+    the same broadcast-stats + TakeOrderedAndProject shape."""
+    from ucuddle_search_engine_spark.operators.routing import LangRoutedIndex
+
+    router = LangRoutedIndex(documents)
+    plan = _plan(router.search("the windows and streams for customers", k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
