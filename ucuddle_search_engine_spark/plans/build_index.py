@@ -56,11 +56,19 @@ def _unit_col(n_units: int):
 
 
 def _fingerprint(corpus_unit: DataFrame) -> str:
-    """Order-insensitive sha256 of the unit's (repo, path, commit) set."""
+    """Order-insensitive fingerprint of the unit's (repo, path, commit) set:
+    count + sum of 60-bit md5 prefixes — a map-side-combined aggregate
+    (O(1) driver data, no collect_list of the whole unit; the previous
+    sort-and-sha form shipped every key to one reducer)."""
     row = corpus_unit.agg(
-        F.sha2(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws("/", "repo", "path", "commit")))), 256)
+        F.count("*").alias("n"),
+        # decimal(38,0) sum: exact + order-insensitive + overflow-free up to
+        # ~8e19 rows of 60-bit values (a plain long sum overflows under ANSI)
+        F.sum(md5_prefix_long(F.concat_ws("/", "repo", "path", "commit")).cast("decimal(38,0)")).alias("s"),
     ).first()
-    return row[0] or "empty"
+    if not row["n"]:
+        return "empty"
+    return f"{row['n']}-{int(row['s']):x}"
 
 
 def _global_field_stats(docs: DataFrame) -> DataFrame:
@@ -112,16 +120,23 @@ def build_index_resumable(
     block_size: int = 128,
     fail_after_units: int | None = None,
     write_postings: bool = False,
+    scale_ids: bool | str = "prefix",
 ) -> dict:
     """Build docs + segments + stats under out_dir, unit by unit, resumably.
 
     fail_after_units simulates a mid-build crash (tests). Returns metrics.
+    scale_ids: id-assignment mode (operators/ids). Default 'prefix' — the
+    distributed dense rank. The 'sort' oracle path funnels the WHOLE corpus
+    through one window task AND leaves docs single-partition, crippling every
+    downstream per-unit job; both paths produce identical ids (test_ids).
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = BuildManifest(os.path.join(out_dir, "manifest.jsonl"))
 
     # pass 0: global deterministic ids + collection stats
-    docs = build_docs(corpus, num_shards=num_shards).withColumn("_unit", _unit_col(n_units)).persist()
+    docs = build_docs(corpus, num_shards=num_shards, scale_ids=scale_ids).withColumn(
+        "_unit", _unit_col(n_units)
+    ).persist()
     cstats = _global_field_stats(docs).persist()
     cstats.count()
 
