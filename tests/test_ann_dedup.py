@@ -244,6 +244,25 @@ def test_ann_ivf_recall(spark, emb):
     assert got == want
 
 
+def test_ann_ivf_store_partition_pruning(spark, emb, tmp_path):
+    """A written IVF index answers probes with DIRECTORY pruning: the plan
+    shows PartitionFilters on _cell, and results equal the in-memory index."""
+    from ucuddle_search_engine_spark.operators.ann import IVFIndex
+
+    ivf = IVFIndex(emb, n_centroids=16, n_probe=4)
+    path = str(tmp_path / "ivf")
+    ivf.write(path)
+    loaded = IVFIndex.load(spark, path)
+    q = list(emb.filter(emb.vec_id == 7).first()["embedding"])
+    got = [(r["vec_id"], r["cosine"]) for r in loaded.topk(q, k=10).collect()]
+    want = [(r["vec_id"], r["cosine"]) for r in ivf.topk(q, k=10).collect()]
+    assert got == want
+    plan = loaded.topk(q, k=10)._sc._jvm.PythonSQLUtils.explainString(
+        loaded.topk(q, k=10)._jdf.queryExecution(), "formatted"
+    )
+    assert any("PartitionFilters" in ln and "_cell" in ln for ln in plan.splitlines()), plan[:1200]
+
+
 def test_text_stats_shapes(docs, pdocs):
     out = {r["doc_id"]: r for r in text_stats(docs).collect()}
     import re

@@ -133,3 +133,32 @@ class IVFIndex:
         pruned = self.assigned.filter(F.col("_cell").isin([int(p) for p in probes]))
         return cosine_topk_bruteforce(pruned, list(query_vec), k=k,
                                       id_col=self.id_col, vec_col=self.vec_col)
+
+    def write(self, path: str) -> None:
+        """Persist as an on-disk index: vectors partitioned by _cell (a probe
+        becomes DIRECTORY pruning — the `tb` term-bucket trick for vectors)
+        plus the centroid matrix. Assignment cost is paid once at build."""
+        import json
+        import os
+
+        self.assigned.repartition("_cell").write.mode("overwrite").partitionBy("_cell").parquet(
+            os.path.join(path, "cells")
+        )
+        with open(os.path.join(path, "centroids.json"), "w") as f:
+            json.dump({"centroids": self.centroids.tolist(), "n_probe": self.n_probe,
+                       "id_col": self.id_col, "vec_col": self.vec_col}, f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "centroids.json")) as f:
+            meta = json.load(f)
+        obj = cls.__new__(cls)
+        obj.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        obj.n_probe = meta["n_probe"]
+        obj.id_col = meta["id_col"]
+        obj.vec_col = meta["vec_col"]
+        obj.assigned = spark.read.parquet(os.path.join(path, "cells"))
+        return obj
