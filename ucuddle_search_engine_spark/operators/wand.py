@@ -381,9 +381,11 @@ class SegmentSearcher:
             self._coll = {r["field"]: (r["n_docs"], r["avgdl"]) for r in self.cstats.collect()}
         return self._coll
 
-    # below this many decoded postings per shard, vectorized exact scoring
-    # beats the skipping loop (measured crossover ~1e6 on this hardware)
-    WAND_MIN_POSTINGS = 1_000_000
+    # below this many postings per shard, the plain vectorized scan wins on
+    # overhead; above it the block-max scorer's skipped decodes pay off
+    # (BENCH/wand_micro.json: parity at ~0.8M, widening with size — both are
+    # numpy-blocked now, so the crossover is shallow either way)
+    WAND_MIN_POSTINGS = 500_000
 
     def search_terms(self, terms: list[str], k: int = 20, mode: str = "and",
                      algorithm: str = "auto", offset: int = 0) -> DataFrame:
