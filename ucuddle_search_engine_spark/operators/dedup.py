@@ -36,6 +36,14 @@ def tokenize_terms(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("_toks", F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0))
 
 
+def _bind(expr, fn):
+    """Let-binding for Column expressions: evaluate `expr` ONCE per row and
+    hand it to `fn` as a bound lambda variable. HOF lambda variables are
+    materialized; outer column references inside lambdas are re-evaluated on
+    every use (Catalyst collapses projections and does no CSE across them)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the lowest id per identical content (hash-groupBy — the shuffle
     replacement for the reference's shared-memory sets)."""
@@ -104,23 +112,42 @@ def minhash_signature_arrays(
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
-    toks = tokenize_terms(df, text_col)
-    per_doc = toks.select(
-        F.col(id_col).alias("doc_id"), shingle_set_col(F.col("_toks"), DEFAULT_SHINGLE).alias("sset")
-    )
+
+    # Catalyst collapses projections, and higher-order-function lambdas
+    # re-evaluate OUTER column references per use (no CSE) — so the regexp
+    # tokenizer would run once per reference. _bind() makes the tokens (and
+    # the shingle set) a lambda VARIABLE, which IS materialized once per row.
+    raw_toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+
     if hash_kind == "xx64":
-        minhashes = F.transform(
+        # fast path, two standard MinHash tricks on top of the binding:
+        # 1. never BUILD shingle strings — hash the token triple directly
+        #    (one xxhash64 over 3 string cols), distinct the 64-bit values;
+        # 2. hash each shingle ONCE; derive the num_hashes family by
+        #    rehashing the 8-byte value (xxhash64(long, i)).
+        def tri_of(toks):
+            n = F.size(toks)
+            return F.when(
+                n >= DEFAULT_SHINGLE,
+                F.array_distinct(F.transform(
+                    F.sequence(F.lit(1), n - F.lit(DEFAULT_SHINGLE - 1)),
+                    lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(DEFAULT_SHINGLE)]),
+                )),
+            ).otherwise(F.array().cast("array<long>"))
+
+        sig = _bind(raw_toks, lambda toks: _bind(tri_of(toks), lambda ss: F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(F.transform(F.col("sset"), lambda s: F.xxhash64(s, i))),
-        )
+            lambda i: F.array_min(F.transform(ss, lambda h: F.xxhash64(h, i))),
+        )))
     else:
-        minhashes = F.transform(
+        sig = _bind(raw_toks, lambda toks: _bind(shingle_set_col(toks, DEFAULT_SHINGLE), lambda ss: F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform(F.col("sset"), lambda s: F.md5(F.concat_ws(":", s, i.cast("string"))))
-            ),
-        )
-    return per_doc.filter(F.size("sset") > 0).select("doc_id", minhashes.alias("minhashes"))
+            lambda i: F.array_min(F.transform(ss, lambda s: F.md5(F.concat_ws(":", s, i.cast("string"))))),
+        )))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), sig.alias("minhashes"))
+        .filter(F.element_at("minhashes", 1).isNotNull())  # empty shingle set ⇒ all-null mins
+    )
 
 
 def lsh_candidate_pairs(
