@@ -521,6 +521,44 @@ def q_pivot_lineitem(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup pairs → transitive dedup clusters (iterative min-label
+    propagation; oracle = DuckDB RECURSIVE CTE reachability)."""
+    from ucuddle_search_engine_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, 0.5)
+    return connected_components(pairs)
+
+
+def _components_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_SHINGLES_SQL},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+        ),
+        und AS (
+          SELECT doc_a AS s, doc_b AS d FROM edges
+          UNION SELECT doc_b, doc_a FROM edges
+        ),
+        reach AS (
+          SELECT s AS n, s AS m FROM und
+          UNION
+          SELECT r.n, u.d FROM reach r JOIN und u ON r.m = u.s
+        )
+        SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+    """
+
+
 def q_token_counts(spark, sf_dir):
     """LLM token budgeting over the corpus: whitespace count, analyzer count,
     and a BPE-ish pre-tokenizer piece count — all regex Column expressions."""
@@ -721,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "paged_search": q_paged_search,
         "token_counts": q_token_counts,
+        "dedup_components": q_dedup_components,
     }
 
 
@@ -732,6 +771,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_match": _fuzzy_sql(),
         "paged_search": _paged_sql(),
         "token_counts": _token_counts_sql(),
+        "dedup_components": _components_sql(),
         "term_stats_top": f"""
             WITH toks AS ({TOKS_SQL})
             SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf

@@ -273,3 +273,25 @@ def test_text_stats_shapes(docs, pdocs):
         assert 0.0 <= r["quality"] <= 1.0
         assert len(r["fingerprint"]) == 32
         assert r["lang_pred"] in {"en", "de", "fr", "es", "und"}
+
+
+def test_connected_components_and_canonical(spark):
+    """Multi-hop chains and separate clusters resolve to min-id components;
+    dedup_keep_canonical keeps exactly one doc per cluster + singletons."""
+    from ucuddle_search_engine_spark.operators.components import (
+        connected_components,
+        dedup_keep_canonical,
+    )
+
+    # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i, f"text{i}") for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 99]],
+                                 "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [1, 10, 20, 99]  # one per cluster + untouched singleton
