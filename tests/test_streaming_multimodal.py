@@ -123,3 +123,53 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
         for r in windowed_event_counts(events).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: state carries an open session
+    across micro-batches (time-ordered files, maxFilesPerTrigger=1); closed
+    sessions match the batch gap-sessionizer exactly."""
+    import datetime as dt
+
+    from ucuddle_search_engine_spark.streaming.windows import sessionize_stream, EVENTS_SCHEMA
+
+    def ev(eid, uid, t):
+        return (eid, dt.datetime(2024, 1, 1, 0, 0, 0, tzinfo=dt.timezone.utc)
+                + dt.timedelta(seconds=t), uid, "click", t / 10.0, "{}")
+
+    # gap 100s. file1: u1 @0,10,20; u2 @15,30. file2: u2 @90 (continues the
+    # file1 session!), u1 @500 (closes s0), @560, u2 @400 (closes s0).
+    f1 = [ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 20), ev(4, 2, 15), ev(5, 2, 30)]
+    f2 = [ev(6, 2, 90), ev(7, 1, 500), ev(8, 1, 560), ev(9, 2, 400)]
+    src = str(tmp_path / "events_in")
+    import glob
+    import os
+    import time
+
+    spark.createDataFrame(f1, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    first = glob.glob(f"{src}/*.parquet")
+    spark.createDataFrame(f2, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    # the file source orders batches by mtime — pin it so f1 always precedes
+    now = time.time()
+    for p in glob.glob(f"{src}/*.parquet"):
+        os.utime(p, (now - 60, now - 60) if p in first else (now, now))
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_s=100)
+        .writeStream.outputMode("append").format("memory").queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["session_no"]): (r["n_events"], round(r["total_value"], 6))
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+
+    # definitely-closed sessions, exact values (u2 s0 SPANS the two files)
+    assert got[(1, 0)] == (3, 3.0)      # ts 0,10,20 → values 0+1+2
+    assert got[(2, 0)] == (3, 13.5)     # ts 15,30,90 → 1.5+3+9
+    # nothing outside the true session set may ever be emitted
+    truth = {(1, 0): (3, 3.0), (2, 0): (3, 13.5), (1, 1): (2, 106.0), (2, 1): (1, 40.0)}
+    for k, v in got.items():
+        assert truth[k] == v, (k, v)

@@ -36,6 +36,77 @@ def windowed_event_counts(events: DataFrame, window: str = "5 minutes", watermar
     )
 
 
+SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_no", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("last_ts", T.DoubleType()),   # epoch seconds
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("session_no", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = 1800, watermark: str = "0 seconds") -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): per-user
+    gap sessionization with state carried across micro-batches. A session
+    closes when a later event arrives more than gap_s after it (emitted with
+    the same (user_id, session_no, n_events, total_value) row the batch
+    sessionizer produces) or when event-time timeout fires; the still-open
+    session per user lives in the state store.
+
+    Scale posture: state is one tiny row per ACTIVE user, keyed state store
+    partitioning = groupBy(user_id) shuffle; per-batch work is vectorized
+    pandas over that user's Arrow rows."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: "GroupState"):
+        (user_id,) = key
+        if state.hasTimedOut:
+            last_ts, n, tv, sno = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": user_id, "session_no": sno, "n_events": n, "total_value": tv}]
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts = rows["ts"].astype("int64").to_numpy() / 1e9  # epoch seconds
+        val = rows["value"].to_numpy()
+        if state.exists:
+            last_ts, n, tv, sno = state.get
+        else:
+            last_ts, n, tv, sno = None, 0, 0.0, 0
+        out = []
+        for t, v in zip(ts, val):
+            if last_ts is not None and t - last_ts > gap_s:
+                out.append({"user_id": user_id, "session_no": sno,
+                            "n_events": n, "total_value": tv})
+                sno += 1
+                n, tv = 0, 0.0
+            last_ts = t
+            n += 1
+            tv += float(v)
+        state.update((float(last_ts), int(n), float(tv), int(sno)))
+        state.setTimeoutTimestamp(int((last_ts + gap_s) * 1000))
+        yield pd.DataFrame(out, columns=["user_id", "session_no", "n_events", "total_value"])
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(fn, SESSION_OUT, SESSION_STATE, "append",
+                                GroupStateTimeout.EventTimeTimeout)
+    )
+
+
 def stream_event_counts(spark: SparkSession, events_dir: str, checkpoint_dir: str, queryName: str = "event_counts"):
     """File-source streaming variant writing to an in-memory sink (tests/demo);
     production swaps source/sink for kafka/parquet without touching the agg."""
