@@ -197,3 +197,14 @@ def test_fuzzy_expansion_and_search(spark):
     for r in exp1.collect():
         per_q.setdefault(r["qterm"], set()).add(r["term"])
     assert all(len(v) == 1 for v in per_q.values())
+
+    # the same fuzzy query over a written-store SegmentSearcher ranks identically
+    from ucuddle_search_engine_spark.operators.segments import build_segments
+    from ucuddle_search_engine_spark.operators.wand import SegmentSearcher
+
+    segs = build_segments(idx.postings, idx.dstats, idx.cstats, num_shards=3)
+    searcher = SegmentSearcher(segs, idx.tstats, idx.cstats, boosts=idx.boosts)
+    disk = [(r["doc_id"], round(r["score"], 9)) for r in
+            fuzzy_search(searcher, ["windoq", "strem"], k=5).collect()]
+    mem = [(r["doc_id"], round(r["score"], 9)) for r in hits]
+    assert disk == mem

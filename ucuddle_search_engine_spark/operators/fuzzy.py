@@ -66,14 +66,16 @@ def expand_terms(dictionary: DataFrame, query_terms: list[str],
 def fuzzy_search(idx, query_terms: list[str], k: int = 10,
                  max_expansions: int | None = MAX_EXPANSIONS,
                  round_dp: int | None = None) -> DataFrame:
-    """Fuzzy OR search over an InvertedIndex: expand each query term against
-    the index's term dictionary, then score the distinct expanded term set as
-    a disjunctive BM25 group (each expansion scored with its own idf — the
+    """Fuzzy OR search over an InvertedIndex OR a SegmentSearcher (both carry
+    tstats + search_terms): expand each query term against the term
+    dictionary, then score the distinct expanded set as a disjunctive BM25
+    group (each expansion scored with its own idf — the
     'constant_score_blended' shape ES rewrites fuzzy queries to)."""
     dictionary = idx.tstats.groupBy("term").agg(F.max("df").alias("df"))
     expanded = expand_terms(dictionary, query_terms, max_expansions)
     terms = sorted({r["term"] for r in expanded.select("term").distinct().collect()})
-    spark = idx.docs.sparkSession
+    spark = dictionary.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    return idx.search_terms(terms, k=k, mode="or", round_dp=round_dp)
+    kwargs = {"round_dp": round_dp} if round_dp is not None and hasattr(idx, "docs") else {}
+    return idx.search_terms(terms, k=k, mode="or", **kwargs)
