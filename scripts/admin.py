@@ -32,11 +32,13 @@ from ucuddle_search_engine_spark.session import get_spark
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["describe", "last-id", "search", "delete-docs", "drop", "alter"])
+    ap.add_argument("cmd", choices=["describe", "last-id", "search", "delete-docs", "drop", "alter", "merge"])
     ap.add_argument("--index", required=True)
     ap.add_argument("--query")
     ap.add_argument("--ids")
     ap.add_argument("--add-column", help="name:type[:default] for `alter` (PutMapping analogue)")
+    ap.add_argument("--with", dest="with_store", help="second store for `merge`")
+    ap.add_argument("--out", help="output dir for `merge`")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--n", type=int, default=1)
     ap.add_argument("--mode", default="and", choices=["and", "or"])
@@ -62,6 +64,11 @@ def main() -> None:
         searcher = load_searcher(spark, args.index)
         for row in searcher.search_terms(analyze_query(args.query), k=args.k, mode=args.mode).collect():
             print(f"{row['doc_id']}\t{row['score']:.6f}")
+    elif args.cmd == "merge":  # Lucene/ES segment merge analogue
+        from ucuddle_search_engine_spark.plans.merge import merge_stores
+
+        stats = merge_stores(spark, args.index, args.with_store, args.out)
+        print(f"merged into {args.out}: {stats['n_docs']} docs (tombstones expunged)")
     elif args.cmd == "alter":  # PutMapping dance (elastic_settings.go:35-92)
         from ucuddle_search_engine_spark.plans.build_index import add_docs_column
 

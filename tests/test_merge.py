@@ -1,0 +1,99 @@
+"""Store merge: two written indexes consolidate into one that is
+block-identical to a fresh single-shot build over the union corpus — the
+Lucene merge analogue, without re-tokenizing anything."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ucuddle_search_engine_spark.operators.postings import (
+    FIELD_CONTENT,
+    build_docs,
+    build_postings_fast,
+    doclens_from_docs,
+)
+from ucuddle_search_engine_spark.plans.build_index import build_index_resumable, load_searcher
+from ucuddle_search_engine_spark.plans.merge import decode_store_postings, merge_stores
+from ucuddle_search_engine_spark.operators.segments import build_segments
+from ucuddle_search_engine_spark.operators.bm25 import InvertedIndex
+from ucuddle_search_engine_spark.synth import synth_corpus
+
+
+def _canon_segments(df):
+    return sorted(
+        (int(r["shard"]), r["term"], int(r["field"]), int(r["block_no"]),
+         bytes(r["doc_bytes"]).hex(), bytes(r["tf_bytes"]).hex(), bytes(r["dl_bytes"]).hex(),
+         round(r["max_impact"], 12))
+        for r in df.collect()
+    )
+
+
+def test_merge_equals_fresh_build(spark, tmp_path_factory):
+    """merge(store(A), store(B)) with overlapping keys (B wins) must produce
+    the same docs, blocks, and search results as a fresh build over A ∪ B."""
+    big = synth_corpus(spark, 220, partitions=4).cache()
+    small = big.limit(0).unionByName(synth_corpus(spark, 150, partitions=4))  # A ⊂ B keys
+
+    dir_a = str(tmp_path_factory.mktemp("store_a"))
+    dir_b = str(tmp_path_factory.mktemp("store_b"))
+    out = str(tmp_path_factory.mktemp("merged"))
+    build_index_resumable(spark, small, dir_a, n_units=2)
+    build_index_resumable(spark, big, dir_b, n_units=2)
+
+    stats = merge_stores(spark, dir_a, dir_b, out)
+    assert stats["n_docs"] == 220
+
+    # block-identical to the single-shot encoder over the union corpus
+    docs = build_docs(big, num_shards=3, scale_ids="prefix")
+    postings = build_postings_fast(docs)
+    from ucuddle_search_engine_spark.operators.postings import collection_stats
+
+    cstats = collection_stats(doclens_from_docs(docs))
+    fresh = build_segments(postings, None, cstats, num_shards=3)
+    merged_segs = spark.read.parquet(os.path.join(out, "segments")).drop("tb", "unit")
+    assert _canon_segments(merged_segs) == _canon_segments(fresh)
+
+    # and the merged store ANSWERS like the exact engine over the union
+    searcher = load_searcher(spark, out)
+    idx = InvertedIndex.build(big, num_shards=3)
+    for terms, mode in ((["t0", "t1"], "or"), (["t0", "t1"], "and"), (["module", "t3"], "or")):
+        got = [(r["doc_id"], round(r["score"], 9)) for r in
+               searcher.search_terms(terms, k=10, mode=mode).collect()]
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                idx.search_terms(terms, k=10, mode=mode).collect()]
+        assert got == want, (terms, mode)
+
+
+def test_merge_expunges_tombstones(spark, tmp_path_factory):
+    """Tombstoned docs of either input vanish from the merged store's docs
+    AND postings (Lucene expunge-deletes-on-merge)."""
+    corpus = synth_corpus(spark, 120, partitions=4).cache()
+    other = synth_corpus(spark, 60, partitions=2)
+    dir_a = str(tmp_path_factory.mktemp("ta"))
+    dir_b = str(tmp_path_factory.mktemp("tb"))
+    out = str(tmp_path_factory.mktemp("tm"))
+    build_index_resumable(spark, corpus, dir_a, n_units=2)
+    build_index_resumable(spark, other, dir_b, n_units=2)
+    dead = [3, 7]
+    spark.createDataFrame([(i,) for i in dead], "doc_id long").write.parquet(
+        os.path.join(dir_a, "tombstones")
+    )
+    dead_keys = {(r["repo"], r["path"]) for r in
+                 spark.read.parquet(os.path.join(dir_a, "docs")).filter(F.col("doc_id").isin(dead))
+                 .select("repo", "path").collect()}
+    merge_stores(spark, dir_a, dir_b, out)
+    mdocs = spark.read.parquet(os.path.join(out, "docs"))
+    keys = {(r["repo"], r["path"]) for r in mdocs.select("repo", "path").collect()}
+    # dead keys survive ONLY if store B also carries them (B had no tombstone)
+    b_keys = {(r["repo"], r["path"]) for r in
+              spark.read.parquet(os.path.join(dir_b, "docs")).select("repo", "path").collect()}
+    for kk in dead_keys:
+        assert (kk in keys) == (kk in b_keys)
+    # postings doc ids all exist in merged docs (no orphaned postings)
+    segs = spark.read.parquet(os.path.join(out, "segments"))
+    post_ids = {r["doc_id"] for r in decode_store_postings(segs).select("doc_id").distinct().collect()}
+    doc_ids = {r["doc_id"] for r in mdocs.select("doc_id").collect()}
+    assert post_ids <= doc_ids

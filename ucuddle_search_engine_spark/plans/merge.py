@@ -1,0 +1,129 @@
+"""Store merge — consolidate two written indexes into one, without touching
+the original corpus text.
+
+This is the Lucene/ES segment-merge analogue (the reference relies on ES's
+background merges; delete-docs above notes 'soft-deletes until merge'): the
+merged store gets fresh dense doc ids over the union key set, postings are
+DECODED from the existing compressed blocks (never re-tokenized — analysis is
+the expensive stage), ids remapped by a hash join, BM25 stats (n_docs/avgdl →
+max_impact) recomputed for the union, and blocks re-encoded through the same
+single-wide-exchange encoder as a fresh build. Tombstoned docs are dropped
+for real during the merge, exactly like Lucene expunges deletes.
+
+Conflict policy: a (repo, path) present in both stores keeps the RIGHT
+store's row (ES upsert semantics — right = newer).
+
+Scale posture: decode is an Arrow mapInPandas over block rows (vectorized
+varbyte), the remap is a shuffle hash join on uniformly-distributed ids, and
+the encode is the standard one-exchange build_segments. No driver data beyond
+unit metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_prefix_long
+from ..operators.ids import assign_doc_ids_prefix
+from ..operators.segments import build_segments
+from .build_index import TERM_BUCKETS, _global_field_stats
+
+
+def decode_store_postings(segments: DataFrame) -> DataFrame:
+    """Compressed block rows → (term, field, doc_id, tf, doclen) postings.
+    Vectorized varbyte decode per Arrow batch; block rows are independent
+    (absolute-restart delta encoding), so no grouping is required."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.varbyte import decode_doc_ids, vb_decode
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            docs = [decode_doc_ids(b) for b in pdf["doc_bytes"]]
+            tfs = [vb_decode(b) for b in pdf["tf_bytes"]]
+            dls = [vb_decode(b) for b in pdf["dl_bytes"]]
+            ns = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(pdf))
+            rep = np.repeat(np.arange(len(pdf)), ns)
+            yield pd.DataFrame(
+                {
+                    "term": pdf["term"].to_numpy(object)[rep],
+                    "field": pdf["field"].to_numpy(np.int32)[rep],
+                    "doc_id": np.concatenate(docs).astype(np.int64) if len(rep) else np.array([], np.int64),
+                    "tf": np.concatenate(tfs).astype(np.int64) if len(rep) else np.array([], np.int64),
+                    "doclen": np.concatenate(dls).astype(np.int64) if len(rep) else np.array([], np.int64),
+                }
+            )
+
+    return segments.mapInPandas(run, schema="term string, field int, doc_id long, tf long, doclen long")
+
+
+def _load_docs(spark: SparkSession, store: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(store, "docs"))
+    ts_path = os.path.join(store, "tombstones")
+    if os.path.isdir(ts_path):
+        dead = spark.read.parquet(ts_path).select("doc_id")
+        docs = docs.join(dead, "doc_id", "left_anti")  # expunge deletes
+    return docs.drop("unit")
+
+
+def merge_stores(spark: SparkSession, left: str, right: str, out_dir: str,
+                 num_shards: int = 3, block_size: int = 128) -> dict:
+    """Merge two written stores into a fresh store at out_dir (docs +
+    tb-partitioned segments + tstats + cstats). Right wins on (repo, path)
+    conflicts; tombstones of both inputs are expunged."""
+    a, b = _load_docs(spark, left), _load_docs(spark, right)
+    key = ["repo", "path"]
+    a_kept = a.join(b.select(*key), key, "left_anti")  # right wins conflicts
+    merged_src = a_kept.select(a.columns).unionByName(b.select(a.columns))
+
+    # fresh dense ids over the union, same determinism contract as a build
+    docs = assign_doc_ids_prefix(merged_src.drop("doc_id", "shard"), key).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(num_shards)).cast("int")
+    )
+    cstats = _global_field_stats(docs).persist()
+    cstats.count()
+
+    # old→new id mapping per input store (hash join on the uniform old id)
+    def mapping(old_docs: DataFrame) -> DataFrame:
+        return old_docs.select(F.col("doc_id").alias("old_id"), *key).join(
+            docs.select(F.col("doc_id").alias("new_id"), *key), key
+        ).select("old_id", "new_id")
+
+    parts = []
+    for store, old_docs, keep in ((left, a, a_kept), (right, b, b)):
+        segs = spark.read.parquet(os.path.join(store, "segments"))
+        decoded = decode_store_postings(segs)
+        # keep only surviving docs (conflict losers + tombstones drop here)
+        m = mapping(keep if keep is not None else old_docs)
+        parts.append(
+            decoded.join(m, decoded["doc_id"] == m["old_id"])
+            .select("term", "field", F.col("new_id").alias("doc_id"), "tf", "doclen")
+        )
+    postings = parts[0].unionByName(parts[1])
+
+    segs_out = build_segments(postings, None, cstats, num_shards=num_shards, block_size=block_size)
+    docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs/unit=0"))
+    (
+        segs_out.withColumn("tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int"))
+        .repartition("tb")
+        .sortWithinPartitions("shard", "term", "field", "block_no")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(os.path.join(out_dir, "segments/unit=0"))
+    )
+    segs_all = spark.read.parquet(os.path.join(out_dir, "segments"))
+    segs_all.groupBy("term", "field").agg(F.sum("n").alias("df")).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "tstats")
+    )
+    with open(os.path.join(out_dir, "cstats.json"), "w") as f:
+        json.dump([r.asDict() for r in cstats.collect()], f)
+    n = docs.count()
+    cstats.unpersist()
+    return {"n_docs": n}
