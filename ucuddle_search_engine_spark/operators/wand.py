@@ -297,6 +297,69 @@ def _blockmax_or_numpy(lists: list[_BlockList], k: int,
     return [(int(uniq[i]), float(scores[i])) for i in order]
 
 
+def _merge_intervals(los: np.ndarray, his: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Union of [lo, hi] intervals → disjoint sorted intervals (vectorized)."""
+    order = np.argsort(los, kind="stable")
+    los, his = los[order], his[order]
+    runmax = np.maximum.accumulate(his)
+    new = np.concatenate(([True], los[1:] > runmax[:-1]))
+    return los[new], np.maximum.reduceat(his, np.flatnonzero(new))
+
+
+def _intersect_and_blocks(blists_by_term: dict[str, list[_BlockList]], k: int,
+                          dead: np.ndarray | None = None) -> list[tuple[int, float]]:
+    """AND top-k with block-interval pruning: a doc in the intersection must
+    lie inside some block of EVERY query term, so a block of term t whose doc
+    range overlaps no block range of some other term can be skipped without
+    decoding. For rare-term ∧ head-term queries this skips most of the head
+    term's blocks — the dominant AND shape at scale. Decoded survivors then
+    intersect exactly as before."""
+    from types import SimpleNamespace
+
+    # disjoint merged intervals per TERM (union over its field/unit lists)
+    merged = {}
+    for t, ls in blists_by_term.items():
+        los = np.concatenate([L.min_docs for L in ls])
+        his = np.concatenate([L.max_docs for L in ls])
+        if not len(los):
+            return []
+        merged[t] = _merge_intervals(los, his)
+
+    out_lists: dict[str, list] = {}
+    for t, ls in blists_by_term.items():
+        others = [merged[o] for o in merged if o != t]
+        for L in ls:
+            keep = np.ones(len(L.ubs), dtype=bool)
+            for m_lo, m_hi in others:
+                # block [lo,hi] overlaps some interval iff the first interval
+                # with m_hi >= lo exists and starts at or before hi
+                idx = np.searchsorted(m_hi, L.min_docs, side="left")
+                ok = idx < len(m_lo)
+                ok[ok] &= m_lo[np.minimum(idx[ok], len(m_lo) - 1)] <= L.max_docs[ok]
+                keep &= ok
+                if not keep.any():
+                    break
+            idxs = np.flatnonzero(keep)
+            if len(idxs) == 0:
+                docs = np.empty(0, np.int64)
+                tfs = dls = np.empty(0, np.int64)
+            else:
+                docs = np.concatenate([decode_doc_ids(L.doc_bytes[i]) for i in idxs]).astype(np.int64)
+                tfs = np.concatenate([vb_decode(L.tf_bytes[i]) for i in idxs]).astype(np.int64)
+                dls = np.concatenate([vb_decode(L.dl_bytes[i]) for i in idxs]).astype(np.int64)
+                if dead is not None and len(dead) and len(docs):
+                    alive = ~np.isin(docs, dead)
+                    docs, tfs, dls = docs[alive], tfs[alive], dls[alive]
+                if len(docs) > 1 and not (docs[1:] > docs[:-1]).all():
+                    order = np.argsort(docs, kind="stable")  # defensive (see _PList)
+                    docs, tfs, dls = docs[order], tfs[order], dls[order]
+            out_lists.setdefault(t, []).append(
+                SimpleNamespace(docs=docs, tfs=tfs, dls=dls,
+                                weight_idf=L.weight_idf, avgdl=L.avgdl)
+            )
+    return _intersect_and(out_lists, k)
+
+
 def _exact_or_numpy(lists: list[_PList], k: int) -> list[tuple[int, float]]:
     """Vectorized disjunctive top-k: concatenate all decoded postings, one
     np.unique + scatter-add, lexsort top-k. No pruning, but ~100× less Python
@@ -336,6 +399,8 @@ def _intersect_and(lists_by_term: dict[str, list[_PList]], k: int) -> list[tuple
     scores = np.zeros(len(common), dtype=np.float64)
     for ls in lists_by_term.values():
         for L in ls:
+            if len(L.docs) == 0:
+                continue
             pos = np.searchsorted(L.docs, common)
             pos = np.clip(pos, 0, len(L.docs) - 1)
             hit = L.docs[pos] == common
@@ -472,14 +537,16 @@ class SegmentSearcher:
                 groups.append((t, key, g))
                 total += int(g["n"].sum())
             if mode == "and":
-                lists_by_term: dict[str, list[_PList]] = {}
+                # block-interval pruning: skip decoding blocks that overlap no
+                # block range of some other query term
+                blists_by_term: dict[str, list[_BlockList]] = {}
                 for t, key, g in groups:
-                    L = _PList(g, b_widf.value[key], b_avgdl.value[key], dead=dead)
-                    lists_by_term.setdefault(t, []).append(L)
-                if len(lists_by_term) < nterms:
+                    L = _BlockList(g, b_widf.value[key], b_avgdl.value[key])
+                    blists_by_term.setdefault(t, []).append(L)
+                if len(blists_by_term) < nterms:
                     top = []
                 else:
-                    top = _intersect_and(lists_by_term, k)
+                    top = _intersect_and_blocks(blists_by_term, k, dead=dead)
             elif algorithm == "wand" or (algorithm == "auto" and total >= SegmentSearcher.WAND_MIN_POSTINGS):
                 # vectorized block-max scorer: decodes only blocks whose
                 # interval bound can beat θ (numpy-blocked, no per-posting loop)
