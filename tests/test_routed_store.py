@@ -1,0 +1,64 @@
+"""Persisted per-language stores: the reference's per-lang ES indexes with
+their analyzer chains, rebuilt as a written store family + router."""
+
+from __future__ import annotations
+
+import pytest
+
+from ucuddle_search_engine_spark.functions.analyze import ANALYZERS
+from ucuddle_search_engine_spark.operators.bm25 import InvertedIndex
+from ucuddle_search_engine_spark.plans.build_index import load_analyzer
+from ucuddle_search_engine_spark.plans.routed import RoutedStores, build_routed_stores
+
+
+@pytest.fixture(scope="module")
+def bilingual(spark):
+    rows = []
+    en = [
+        "the customer stream is closing for the window systems",
+        "a window for the streams and the customers",
+        "batch tables for the data vectors in the system",
+        "closing windows quickly for many customers",
+    ]
+    ru = [
+        "и вот окна закрываются в системе для потоков",
+        "потоки и окна в таблице и данные",
+        "система окон и потоков для таблицы",
+        "и данные в таблицах потоков",
+    ]
+    for i, t in enumerate(en):
+        rows.append((f"org/en{i % 2}", f"doc{i}.txt", f"{i:040x}", "en", t))
+    for i, t in enumerate(ru):
+        rows.append((f"org/ru{i % 2}", f"doc{i}.txt", f"{i:040x}", "ru", t))
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).cache()
+
+
+def test_routed_stores_roundtrip(spark, bilingual, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("routed"))
+    stats = build_routed_stores(spark, bilingual, out, n_units=1)
+    assert set(stats) == {"en", "ru"}
+
+    router = RoutedStores(spark, out)
+    # analyzer config round-trips exactly
+    assert router.analyzers["ru"] == ANALYZERS["ru"]
+    assert load_analyzer(f"{out}/lang=en") == ANALYZERS["en"]
+
+    # Russian query: stopwords drop, inflections stem — matches inflected docs
+    got_ru = router.search("и окно в системе", lang="ru", k=4, mode="or").collect()
+    assert len(got_ru) >= 2  # 'окно' stem matches 'окна'/'окон', 'системе'→'систем'
+    # English query routes by detection (no explicit lang)
+    got_en = router.search("the windows for customers", k=4, mode="or").collect()
+    assert len(got_en) >= 2
+
+    # written per-lang store == in-memory index with the same analyzer
+    sub = bilingual.filter("lang = 'ru'")
+    idx = InvertedIndex.build(sub, num_shards=3, analyzer=ANALYZERS["ru"])
+    terms = ANALYZERS["ru"].analyze_py("и окно в системе")
+    want = [(r["doc_id"], round(r["score"], 9)) for r in idx.search_terms(terms, k=4, mode="or").collect()]
+    got = [(r["doc_id"], round(r["score"], 9)) for r in got_ru]
+    assert got == want
+
+    # unsupported language → empty, like the reference
+    assert router.search("xyzzy", lang="de", k=3).count() == 0

@@ -36,7 +36,8 @@ _ID_MODES = {
 }
 
 
-def build_docs(corpus: DataFrame, num_shards: int = 3, scale_ids: bool | str = False) -> DataFrame:
+def build_docs(corpus: DataFrame, num_shards: int = 3, scale_ids: bool | str = False,
+               analyzer=None) -> DataFrame:
     """Corpus (repo, path, commit, lang, content) → docs table.
 
     - doc_id: deterministic dense rank over (repo, path) — replaces the
@@ -57,6 +58,7 @@ def build_docs(corpus: DataFrame, num_shards: int = 3, scale_ids: bool | str = F
     first_line = F.trim(F.substring_index(F.col("content"), "\n", 1))
     basename = F.element_at(F.split(F.col("path"), "/"), -1)
     title = F.when(F.length(first_line) >= 3, first_line).otherwise(basename)
+    toks = analyzer.tokens_col("content") if analyzer is not None else tokenize_col("content")
     return docs.select(
         "doc_id",
         "repo",
@@ -66,7 +68,7 @@ def build_docs(corpus: DataFrame, num_shards: int = 3, scale_ids: bool | str = F
         title.alias("title"),
         "content",
         sha256_col("content").alias("content_sha256"),
-        F.size(tokenize_col("content")).cast("long").alias("doclen"),
+        F.size(toks).cast("long").alias("doclen"),
         F.pmod(F.col("doc_id"), F.lit(num_shards)).cast("int").alias("shard"),
     )
 

@@ -71,11 +71,12 @@ def _fingerprint(corpus_unit: DataFrame) -> str:
     return f"{row['n']}-{int(row['s']):x}"
 
 
-def _global_field_stats(docs: DataFrame) -> DataFrame:
+def _global_field_stats(docs: DataFrame, analyzer=None) -> DataFrame:
     """(field, n_docs, avgdl) over the whole corpus — matches
     operators.postings.collection_stats semantics (docs with ≥1 token)."""
+    ttoks = analyzer.tokens_col("title") if analyzer is not None else tokenize_col("title")
     content = docs.select(F.lit(FIELD_CONTENT).alias("field"), F.col("doclen"))
-    title = docs.select(F.lit(FIELD_TITLE).alias("field"), F.size(tokenize_col("title")).cast("long").alias("doclen"))
+    title = docs.select(F.lit(FIELD_TITLE).alias("field"), F.size(ttoks).cast("long").alias("doclen"))
     return (
         content.unionByName(title)
         .filter(F.col("doclen") > 0)
@@ -121,6 +122,7 @@ def build_index_resumable(
     fail_after_units: int | None = None,
     write_postings: bool = False,
     scale_ids: bool | str = "prefix",
+    analyzer=None,
 ) -> dict:
     """Build docs + segments + stats under out_dir, unit by unit, resumably.
 
@@ -134,11 +136,18 @@ def build_index_resumable(
     manifest = BuildManifest(os.path.join(out_dir, "manifest.jsonl"))
 
     # pass 0: global deterministic ids + collection stats
-    docs = build_docs(corpus, num_shards=num_shards, scale_ids=scale_ids).withColumn(
+    docs = build_docs(corpus, num_shards=num_shards, scale_ids=scale_ids, analyzer=analyzer).withColumn(
         "_unit", _unit_col(n_units)
     ).persist()
-    cstats = _global_field_stats(docs).persist()
+    cstats = _global_field_stats(docs, analyzer=analyzer).persist()
     cstats.count()
+    if analyzer is not None:
+        # persist the analyzer config so the QUERY side analyzes identically
+        # after reload — the search_analyzer == index analyzer pin for stores
+        from dataclasses import asdict
+
+        with open(os.path.join(out_dir, "analyzer.json"), "w") as f:
+            json.dump(asdict(analyzer), f)
 
     done = 0
     t0 = time.time()
@@ -179,7 +188,7 @@ def build_index_resumable(
         t1 = time.time()
         # fast path: per-doc termvectors carry doclen → scan → analyze →
         # one map-side-combined shuffle → encode (see operators/segments.py)
-        postings_u = build_postings_fast(docs_u)
+        postings_u = build_postings_fast(docs_u, analyzer=analyzer)
         segs = build_segments(postings_u, None, cstats, num_shards=num_shards, block_size=block_size)
         docs_path = os.path.join(out_dir, f"docs/unit={pid}")
         seg_path = os.path.join(out_dir, f"segments/unit={pid}")
@@ -246,6 +255,23 @@ def build_index_resumable(
     return stats
 
 
+def load_analyzer(out_dir: str):
+    """The analyzer this store was built with (None = identity)."""
+    path = os.path.join(out_dir, "analyzer.json")
+    if not os.path.exists(path):
+        return None
+    from ..functions.analyze import Analyzer
+
+    with open(path) as f:
+        cfg = json.load(f)
+    return Analyzer(
+        token_pattern=cfg["token_pattern"],
+        stopwords=tuple(cfg["stopwords"]),
+        stem_rules=tuple((s, r) for s, r in cfg["stem_rules"]),
+        min_stem=cfg["min_stem"],
+    )
+
+
 def search_written(spark: SparkSession, out_dir: str, query: str, k: int = 10,
                    mode: str = "and", highlight: bool = False, offset: int = 0):
     """Full read path over a written store: top-k via the segment searcher,
@@ -260,7 +286,8 @@ def search_written(spark: SparkSession, out_dir: str, query: str, k: int = 10,
     from ..operators.highlight import highlight_hits
 
     searcher = load_searcher(spark, out_dir)
-    terms = analyze_query(query)
+    an = load_analyzer(out_dir)
+    terms = an.analyze_py(query) if an is not None else analyze_query(query)
     if len(query.strip()) < 3 or not terms:  # length guard (web/app.py:30-31)
         return spark.createDataFrame([], "doc_id long, score double")
     topk = searcher.search_terms(terms, k=k, mode=mode, offset=offset)
