@@ -295,3 +295,16 @@ def test_connected_components_and_canonical(spark):
                                  "doc_id long, text string")
     kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
     assert kept == [1, 10, 20, 99]  # one per cluster + untouched singleton
+
+
+def test_lsh_hot_bucket_skew(spark):
+    """The documented skew point: a boilerplate bucket (1000 identical docs →
+    every band collides) must complete via AQE skew splitting and produce
+    exactly C(1000,2) candidate pairs, while distinct docs stay unpaired."""
+    boiler = [(i, "exact same boilerplate text repeated here for every page") for i in range(1000)]
+    distinct = [(10_000 + i, f"unique document number {i} q{i} z{i * 7} w{i * 13}") for i in range(200)]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(df, hash_kind="xx64")
+    n_boiler = pairs.filter("doc_a < 10000 and doc_b < 10000").count()
+    assert n_boiler == 1000 * 999 // 2
+    assert pairs.filter("doc_a >= 10000 or doc_b >= 10000").count() < 1000  # no mass cross-pairing
