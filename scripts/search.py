@@ -11,8 +11,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from ucuddle_search_engine_spark.functions.analyze import analyze_query
-from ucuddle_search_engine_spark.plans.build_index import load_searcher
 from ucuddle_search_engine_spark.session import get_spark
 
 

@@ -35,6 +35,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = None
     for _ in range(max_iter):
         nbr = (
             und.join(labels, und["s"] == labels["doc_id"])
@@ -54,6 +55,11 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
         labels = updated.drop("_chg")
         if changed == 0:
             break
+    if changed:
+        # never return silently-wrong clusters: a component with diameter >
+        # max_iter did not converge — the caller should raise max_iter or
+        # switch to the large-star/small-star O(log n) variant
+        raise RuntimeError(f"connected_components: not converged after {max_iter} rounds")
     return labels
 
 

@@ -97,11 +97,11 @@ def merge_stores(spark: SparkSession, left: str, right: str, out_dir: str,
         ).select("old_id", "new_id")
 
     parts = []
-    for store, old_docs, keep in ((left, a, a_kept), (right, b, b)):
+    for store, keep in ((left, a_kept), (right, b)):
         segs = spark.read.parquet(os.path.join(store, "segments"))
         decoded = decode_store_postings(segs)
         # keep only surviving docs (conflict losers + tombstones drop here)
-        m = mapping(keep if keep is not None else old_docs)
+        m = mapping(keep)
         parts.append(
             decoded.join(m, decoded["doc_id"] == m["old_id"])
             .select("term", "field", F.col("new_id").alias("doc_id"), "tf", "doclen")
