@@ -298,8 +298,7 @@ def q_bm25_wand_and(spark, sf_dir):
     idx = InvertedIndex.from_documents_table(documents)
     segs = build_segments(idx.postings, idx.dstats, idx.cstats, num_shards=3)
     searcher = SegmentSearcher(segs, idx.tstats, idx.cstats, boosts=idx.boosts)
-    out = searcher.search_terms(BM25_AND_TERMS, k=10, mode="and")
-    return out.select("doc_id", F.round(F.col("score"), 6).alias("score"))
+    return searcher.search_terms(BM25_AND_TERMS, k=10, mode="and", round_dp=6)
 
 
 def q_bm25_wand_or(spark, sf_dir):
@@ -307,8 +306,7 @@ def q_bm25_wand_or(spark, sf_dir):
     idx = InvertedIndex.from_documents_table(documents)
     segs = build_segments(idx.postings, idx.dstats, idx.cstats, num_shards=3)
     searcher = SegmentSearcher(segs, idx.tstats, idx.cstats, boosts=idx.boosts)
-    out = searcher.search_terms(BM25_OR_TERMS, k=10, mode="or")
-    return out.select("doc_id", F.round(F.col("score"), 6).alias("score"))
+    return searcher.search_terms(BM25_OR_TERMS, k=10, mode="or", round_dp=6)
 
 
 def q_exact_dedup(spark, sf_dir):

@@ -307,7 +307,8 @@ def _merge_intervals(los: np.ndarray, his: np.ndarray) -> tuple[np.ndarray, np.n
 
 
 def _intersect_and_blocks(blists_by_term: dict[str, list[_BlockList]], k: int,
-                          dead: np.ndarray | None = None) -> list[tuple[int, float]]:
+                          dead: np.ndarray | None = None,
+                          round_dp: int | None = None) -> list[tuple[int, float]]:
     """AND top-k with block-interval pruning: a doc in the intersection must
     lie inside some block of EVERY query term, so a block of term t whose doc
     range overlaps no block range of some other term can be skipped without
@@ -357,14 +358,16 @@ def _intersect_and_blocks(blists_by_term: dict[str, list[_BlockList]], k: int,
                 SimpleNamespace(docs=docs, tfs=tfs, dls=dls,
                                 weight_idf=L.weight_idf, avgdl=L.avgdl)
             )
-    return _intersect_and(out_lists, k)
+    return _intersect_and(out_lists, k, round_dp=round_dp)
 
 
-def _exact_or_numpy(lists: list[_PList], k: int) -> list[tuple[int, float]]:
+def _exact_or_numpy(lists: list[_PList], k: int, round_dp: int | None = None) -> list[tuple[int, float]]:
     """Vectorized disjunctive top-k: concatenate all decoded postings, one
     np.unique + scatter-add, lexsort top-k. No pruning, but ~100× less Python
     overhead per posting than the WAND loop — wins whenever the lists are
-    short enough that skipping can't pay for itself (the auto policy)."""
+    short enough that skipping can't pay for itself (the auto policy).
+    round_dp: round scores BEFORE the cut so k-boundary ties break by doc_id
+    exactly like a rounded-score oracle."""
     if not lists:
         return []
     docs_all = np.concatenate([L.docs for L in lists])
@@ -377,11 +380,14 @@ def _exact_or_numpy(lists: list[_PList], k: int) -> list[tuple[int, float]]:
     uniq, inv = np.unique(docs_all, return_inverse=True)
     scores = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(scores, inv, contribs)
+    if round_dp is not None:
+        scores = np.round(scores, round_dp)
     order = np.lexsort((uniq, -scores))[:k]
     return [(int(uniq[i]), float(scores[i])) for i in order]
 
 
-def _intersect_and(lists_by_term: dict[str, list[_PList]], k: int) -> list[tuple[int, float]]:
+def _intersect_and(lists_by_term: dict[str, list[_PList]], k: int,
+                   round_dp: int | None = None) -> list[tuple[int, float]]:
     """AND semantics (minimum_should_match 100%): sorted-merge intersection of
     per-term doc sets (union across fields per term), then exact scoring of
     survivors — the posting-intersection join J1 (SURVEY.md §2.3)."""
@@ -407,6 +413,8 @@ def _intersect_and(lists_by_term: dict[str, list[_PList]], k: int) -> list[tuple
             tf = L.tfs[pos[hit]].astype(np.float64)
             dl = L.dls[pos[hit]].astype(np.float64)
             scores[hit] += L.weight_idf * tf / (tf + K1 * (1 - B + B * dl / L.avgdl))
+    if round_dp is not None:
+        scores = np.round(scores, round_dp)
     order = np.lexsort((common, -scores))[:k]
     return [(int(common[i]), float(scores[i])) for i in order]
 
@@ -453,12 +461,18 @@ class SegmentSearcher:
     WAND_MIN_POSTINGS = 500_000
 
     def search_terms(self, terms: list[str], k: int = 20, mode: str = "and",
-                     algorithm: str = "auto", offset: int = 0) -> DataFrame:
+                     algorithm: str = "auto", offset: int = 0,
+                     round_dp: int | None = None) -> DataFrame:
         """offset: pagination (ES from+size) — each shard returns its top
         (offset+k), which provably contains the global rows offset..offset+k
-        (shards partition docs disjointly), then the merge skips offset."""
+        (shards partition docs disjointly), then the merge skips offset.
+        round_dp: boundary-stable mode — scores are rounded BEFORE every
+        top-k cut (per shard and at the merge) so ties break by doc_id
+        exactly like a rounded-score oracle; OR queries route to the exact
+        scorer (rounding under block-max pruning would need inflated bounds)."""
         if offset:
-            inner = self.search_terms(terms, k=offset + k, mode=mode, algorithm=algorithm)
+            inner = self.search_terms(terms, k=offset + k, mode=mode, algorithm=algorithm,
+                                      round_dp=round_dp)
             return inner.orderBy(F.col("score").desc(), F.col("doc_id").asc()).offset(offset).limit(k)
         terms = sorted(set(terms))
         spark = self.segments.sparkSession
@@ -546,8 +560,8 @@ class SegmentSearcher:
                 if len(blists_by_term) < nterms:
                     top = []
                 else:
-                    top = _intersect_and_blocks(blists_by_term, k, dead=dead)
-            elif algorithm == "wand" or (algorithm == "auto" and total >= SegmentSearcher.WAND_MIN_POSTINGS):
+                    top = _intersect_and_blocks(blists_by_term, k, dead=dead, round_dp=round_dp)
+            elif round_dp is None and (algorithm == "wand" or (algorithm == "auto" and total >= SegmentSearcher.WAND_MIN_POSTINGS)):
                 # vectorized block-max scorer: decodes only blocks whose
                 # interval bound can beat θ (numpy-blocked, no per-posting loop)
                 blists = [_BlockList(g, b_widf.value[key], b_avgdl.value[key]) for _, key, g in groups]
@@ -557,7 +571,7 @@ class SegmentSearcher:
                 top = _wand_or(flat, k)
             else:
                 flat = [_PList(g, b_widf.value[key], b_avgdl.value[key], dead=dead) for _, key, g in groups]
-                top = _exact_or_numpy(flat, k)
+                top = _exact_or_numpy(flat, k, round_dp=round_dp)
             return pd.DataFrame(top, columns=["doc_id", "score"]).astype({"doc_id": "int64", "score": "float64"})
 
         per_shard = matched.groupBy("shard").applyInPandas(run_shard, schema="doc_id long, score double")
