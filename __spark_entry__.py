@@ -519,6 +519,34 @@ def q_pivot_lineitem(spark, sf_dir):
     )
 
 
+def q_training_corpus_filter(spark, sf_dir):
+    """The composed training-data gate a 100 TB pipeline runs end-to-end:
+    language filter + quality score + token-length band (functions/textstats),
+    then canonical-fingerprint dedup keeping the lowest doc id — one
+    declarative plan, no intermediate materialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(docs)
+    keep = stats.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.6)
+        & (F.col("n_tokens").between(20, 10000))
+    )
+    return keep.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_dups"),
+    ).select("doc_id", "fingerprint", "n_dups")
+
+
+def _training_filter_sql() -> str:
+    return f"""
+        WITH stats AS ({_TEXT_STATS_SQL})
+        SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS n_dups
+        FROM stats
+        WHERE lang_pred = 'en' AND quality >= 0.6 AND n_tokens BETWEEN 20 AND 10000
+        GROUP BY fingerprint
+    """
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup pairs → transitive dedup clusters (iterative min-label
     propagation; oracle = DuckDB RECURSIVE CTE reachability)."""
@@ -758,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paged_search": q_paged_search,
         "token_counts": q_token_counts,
         "dedup_components": q_dedup_components,
+        "training_corpus_filter": q_training_corpus_filter,
     }
 
 
@@ -770,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         "paged_search": _paged_sql(),
         "token_counts": _token_counts_sql(),
         "dedup_components": _components_sql(),
+        "training_corpus_filter": _training_filter_sql(),
         "term_stats_top": f"""
             WITH toks AS ({TOKS_SQL})
             SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
