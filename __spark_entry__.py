@@ -519,6 +519,74 @@ def q_pivot_lineitem(spark, sf_dir):
     )
 
 
+PMI_MIN_COUNT = 8
+
+
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation mining: pointwise mutual information over adjacent token
+    pairs (phrase-vocabulary induction for tokenizer/corpus work). All Column
+    expressions: posexplode window join → counts → PMI."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)).alias("pos", "term")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    bigrams = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1))
+        .groupBy(F.col("a.term").alias("w1"), F.col("b.term").alias("w2"))
+        .agg(F.count("*").alias("n_ab"))
+    )
+    uni = toks.groupBy("term").agg(F.count("*").alias("n"))
+    total = toks.count()
+    total_bi = bigrams.agg(F.sum("n_ab")).first()[0]
+    out = (
+        bigrams.filter(F.col("n_ab") >= PMI_MIN_COUNT)
+        .join(uni.select(F.col("term").alias("w1"), F.col("n").alias("n1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("n").alias("n2")), "w2")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log((F.col("n_ab") / F.lit(float(total_bi)))
+                      / ((F.col("n1") / F.lit(float(total))) * (F.col("n2") / F.lit(float(total))))),
+                6,
+            ),
+        )
+        .select("w1", "w2", "n_ab", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
+    return out
+
+
+def _bigram_pmi_sql() -> str:
+    return f"""
+        WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t FROM documents),
+        toks AS (
+          SELECT doc_id, u.term AS term, u.pos AS pos FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(len(t)), i -> {{'term': t[i+1], 'pos': i}})) AS u
+            FROM t0
+          )
+        ),
+        big AS (
+          SELECT a.term AS w1, b.term AS w2, count(*) AS n_ab
+          FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          GROUP BY a.term, b.term
+        ),
+        uni AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_toks FROM toks),
+        totb AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS n_bi FROM big)
+        SELECT w1, w2, n_ab,
+               CAST(round(ln((n_ab / totb.n_bi) / ((u1.n / tot.n_toks) * (u2.n / tot.n_toks))), 6) AS DOUBLE) AS pmi
+        FROM big
+        JOIN uni u1 ON w1 = u1.term
+        JOIN uni u2 ON w2 = u2.term
+        CROSS JOIN tot CROSS JOIN totb
+        WHERE n_ab >= {PMI_MIN_COUNT}
+        ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
+    """
+
+
 def q_training_corpus_filter(spark, sf_dir):
     """The composed training-data gate a 100 TB pipeline runs end-to-end:
     language filter + quality score + token-length band (functions/textstats),
@@ -787,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "dedup_components": q_dedup_components,
         "training_corpus_filter": q_training_corpus_filter,
+        "bigram_pmi": q_bigram_pmi,
     }
 
 
@@ -800,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _token_counts_sql(),
         "dedup_components": _components_sql(),
         "training_corpus_filter": _training_filter_sql(),
+        "bigram_pmi": _bigram_pmi_sql(),
         "term_stats_top": f"""
             WITH toks AS ({TOKS_SQL})
             SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
