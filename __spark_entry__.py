@@ -115,19 +115,36 @@ _SHINGLES_SQL = f"""
             )"""
 
 
-def _lang_hits_sql() -> str:
+def _lang_hits_sql(toks_col: str = "vtoks") -> str:
     from ucuddle_search_engine_spark.functions.textstats import STOPWORDS
 
     cols = []
     for lang in sorted(STOPWORDS):
         arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-        cols.append(f"len(list_intersect(toks, [{arr}])) AS hits_{lang}")
+        cols.append(f"len(list_intersect({toks_col}, [{arr}])) AS hits_{lang}")
     return ",\n                     ".join(cols)
 
 
-_TEXT_STATS_SQL = f"""
+def _text_stats_sql() -> str:
+    """DuckDB mirror of functions.textstats.text_stats — fully programmatic
+    over sorted(STOPWORDS) so adding a vote language extends the oracle too.
+    The vote tokenizes over the ASCII+Cyrillic alphabet (vtoks); counting /
+    fingerprint stay on the ASCII TOKEN_PATTERN (toks)."""
+    from ucuddle_search_engine_spark.functions.textstats import (
+        STOPWORDS, VOTE_TOKEN_PATTERN)
+
+    langs = sorted(STOPWORDS)
+    hits_list = ", ".join(f"hits_{l}" for l in langs)
+    best = f"greatest({hits_list})"
+    n_at_max = "\n                      + ".join(
+        f"CASE WHEN hits_{l} = {best} THEN 1 ELSE 0 END" for l in langs)
+    pick = "\n                            ".join(
+        f"WHEN hits_{l} = best THEN '{l}'" for l in langs)
+    return f"""
             WITH base AS (
-              SELECT doc_id, text, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks,
+                     regexp_extract_all(lower(text), '{VOTE_TOKEN_PATTERN}') AS vtoks
               FROM documents
             ),
             hits AS (
@@ -137,12 +154,9 @@ _TEXT_STATS_SQL = f"""
             ),
             m AS (
               SELECT doc_id, text, toks,
-                     hits_de, hits_en, hits_es, hits_fr,
-                     greatest(hits_de, hits_en, hits_es, hits_fr) AS best,
-                     (CASE WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 1 ELSE 0 END
-                      + CASE WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 1 ELSE 0 END
-                      + CASE WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 1 ELSE 0 END
-                      + CASE WHEN hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 1 ELSE 0 END) AS n_at_max,
+                     {hits_list},
+                     {best} AS best,
+                     ({n_at_max}) AS n_at_max,
                      CAST(len(toks) AS DOUBLE) AS n_tok,
                      CAST(length(text) AS DOUBLE) AS n_chars,
                      CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) AS alpha_chars
@@ -152,10 +166,7 @@ _TEXT_STATS_SQL = f"""
               SELECT doc_id,
                      CAST(n_tok AS BIGINT) AS n_tokens,
                      CASE WHEN best > 0 AND n_at_max = 1 THEN
-                       CASE WHEN hits_de = best THEN 'de'
-                            WHEN hits_en = best THEN 'en'
-                            WHEN hits_es = best THEN 'es'
-                            WHEN hits_fr = best THEN 'fr' END
+                       CASE {pick} END
                      ELSE 'und' END AS lang_pred,
                      (CASE WHEN n_tok >= 20 AND n_tok <= 10000 THEN 1.0
                            WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END
@@ -167,6 +178,9 @@ _TEXT_STATS_SQL = f"""
             )
             SELECT doc_id, n_tokens, lang_pred, CAST(round(q, 6) AS DOUBLE) AS quality, fingerprint
             FROM s"""
+
+
+_TEXT_STATS_SQL = _text_stats_sql()
 
 
 # --------------------------------------------------------------------------
@@ -761,12 +775,53 @@ def q_lang_routed_search(spark, sf_dir):
     return router.search(ROUTED_QUERY, k=10, mode="or", round_dp=6)
 
 
-def _lang_routed_sql(k: int = 10) -> str:
-    from ucuddle_search_engine_spark.functions.analyze import ANALYZERS
-    from ucuddle_search_engine_spark.functions.textstats import STOPWORDS
+# Deterministic mixed-language corpus for the Cyrillic routing check: every
+# 5th doc transliterated letter-for-letter to Cyrillic (word structure
+# survives) with a Russian-stopword prefix, so the stopword vote assigns it
+# 'ru' — both sides (Spark and the DuckDB oracle) derive the same corpus from
+# `documents`; no external data.
+RU_TRANSLIT_SRC = "abcdefghijklmnopqrstuvwxyz"
+RU_TRANSLIT_DST = "абвгдежзийклмнопрстуфхцчшщ"
+RU_STOP_PREFIX = "и что он как с ты же мне "
+CYR_DOC_MOD = 5
+CYRILLIC_QUERY = "как " + "spark window".translate(
+    str.maketrans(RU_TRANSLIT_SRC, RU_TRANSLIT_DST))
 
-    an = ANALYZERS["en"]
-    terms = sorted(set(an.analyze_py(ROUTED_QUERY)))
+
+def _mixed_lang_docs(docs):
+    is_ru = (F.col("doc_id") % CYR_DOC_MOD) == 0
+    ru_text = F.concat(
+        F.lit(RU_STOP_PREFIX),
+        F.translate(F.lower("text"), RU_TRANSLIT_SRC, RU_TRANSLIT_DST),
+    )
+    return docs.withColumn("text", F.when(is_ru, ru_text).otherwise(F.col("text")))
+
+
+_MIXED_DOCS_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % {m} = 0 THEN '{p}' || "
+    "translate(lower(text), '{s}', '{d}') ELSE text END AS text FROM documents"
+).format(m=CYR_DOC_MOD, p=RU_STOP_PREFIX, s=RU_TRANSLIT_SRC, d=RU_TRANSLIT_DST)
+
+
+def q_lang_routed_search_cyrillic(spark, sf_dir):
+    """The reference's PRIMARY read path: a Cyrillic (Russian) query detected
+    by the stopword vote (web/app.py:33 langdetect) and routed to the ru
+    index built with the russian stop+stem analyzer
+    (web/elastic_interaction.py:53-57, crawler/functs_with_elastic.go:136-157)
+    over a mixed en/ru corpus."""
+    docs = _mixed_lang_docs(load_table(spark, sf_dir, "documents"))
+    router = LangRoutedIndex(docs)
+    return router.search(CYRILLIC_QUERY, k=10, mode="or", round_dp=6)
+
+
+def _lang_routed_sql(k: int = 10, lang: str = "en", query: str | None = None,
+                     docs_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    from ucuddle_search_engine_spark.functions.analyze import ANALYZERS
+    from ucuddle_search_engine_spark.functions.textstats import (
+        STOPWORDS, VOTE_TOKEN_PATTERN)
+
+    an = ANALYZERS[lang]
+    terms = sorted(set(an.analyze_py(query if query is not None else ROUTED_QUERY)))
     tlist = ", ".join(f"'{t}'" for t in terms)
     langs = sorted(STOPWORDS)
     hits = ",\n                     ".join(
@@ -777,9 +832,10 @@ def _lang_routed_sql(k: int = 10) -> str:
     n_at_max = " + ".join(f"CASE WHEN hits_{lang} = {best} THEN 1 ELSE 0 END" for lang in langs)
     pick = " ".join(f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs)
     return f"""
-WITH base AS (
-  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS rawtoks
-  FROM documents
+WITH docs_src AS ({docs_sql}),
+base AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '{VOTE_TOKEN_PATTERN}') AS rawtoks
+  FROM docs_src
 ),
 hits AS (
   SELECT doc_id, text,
@@ -789,7 +845,7 @@ hits AS (
 endocs AS (
   SELECT doc_id, text FROM hits
   WHERE CASE WHEN {best} > 0 AND ({n_at_max}) = 1
-             THEN CASE {pick} END ELSE 'und' END = 'en'
+             THEN CASE {pick} END ELSE 'und' END = '{lang}'
 ),
 toks AS (
   SELECT doc_id, unnest({an.tokens_sql('text')}) AS term FROM endocs
@@ -850,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "pivot_lineitem": q_pivot_lineitem,
         "lang_routed_search": q_lang_routed_search,
+        "lang_routed_search_cyrillic": q_lang_routed_search_cyrillic,
         "fuzzy_match": q_fuzzy_match,
         "paged_search": q_paged_search,
         "token_counts": q_token_counts,
@@ -864,6 +921,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": _bm25_sql(BM25_AND_TERMS, "and"),
         "bm25_topk_or": _bm25_sql(BM25_OR_TERMS, "or"),
         "lang_routed_search": _lang_routed_sql(),
+        "lang_routed_search_cyrillic": _lang_routed_sql(
+            lang="ru", query=CYRILLIC_QUERY, docs_sql=_MIXED_DOCS_SQL),
         "fuzzy_match": _fuzzy_sql(),
         "paged_search": _paged_sql(),
         "token_counts": _token_counts_sql(),

@@ -12,21 +12,36 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .analyze import ANALYZERS, TOKEN_PATTERN_CYRILLIC
+
 TOKEN_PATTERN = "[a-z0-9]+"
+# The language VOTE tokenizes over ASCII + Cyrillic so uk/ru queries/docs
+# (the reference's primary languages, web/app.py:33 langdetect) can win the
+# vote; the ASCII TOKEN_PATTERN stays the alphabet for counting/fingerprints
+# (changing it would change every downstream stat).
+VOTE_TOKEN_PATTERN = TOKEN_PATTERN_CYRILLIC
 
 # tiny deterministic stopword lists for the n-gram/stopword-vote heuristic —
-# the vote mechanics mirror the reference's chunked whatlanggo voting
+# the vote mechanics mirror the reference's chunked whatlanggo voting; ru/uk
+# reuse the Analyzer stop lists so detection and analysis agree on vocabulary
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
     "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
     "es": ["el", "la", "los", "y", "es", "un", "una", "para", "en", "que"],
+    "ru": list(ANALYZERS["ru"].stopwords),
+    "uk": list(ANALYZERS["uk"].stopwords),
 }
 
 
 def tokens_col(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+
+
+def vote_tokens_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(VOTE_TOKEN_PATTERN), 0)
 
 
 def token_count(text: Column | str) -> Column:
@@ -56,7 +71,7 @@ def ws_token_count(text: Column | str) -> Column:
 
 def stopword_hits(text: Column | str, lang: str) -> Column:
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.array_intersect(tokens_col(text), sw))
+    return F.size(F.array_intersect(vote_tokens_col(text), sw))
 
 
 def lang_id(text: Column | str) -> Column:

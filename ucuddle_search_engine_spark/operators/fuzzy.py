@@ -77,5 +77,5 @@ def fuzzy_search(idx, query_terms: list[str], k: int = 10,
     spark = dictionary.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    kwargs = {"round_dp": round_dp} if round_dp is not None and hasattr(idx, "docs") else {}
+    kwargs = {"round_dp": round_dp} if round_dp is not None else {}
     return idx.search_terms(terms, k=k, mode="or", **kwargs)

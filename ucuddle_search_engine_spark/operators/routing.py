@@ -26,15 +26,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.analyze import ANALYZERS, Analyzer, IDENTITY_ANALYZER
-from ..functions.textstats import STOPWORDS, lang_id
+from ..functions.textstats import STOPWORDS, VOTE_TOKEN_PATTERN, lang_id
 from .bm25 import InvertedIndex
 
-_TOKEN_RE = re.compile("[a-z0-9]+")
+_TOKEN_RE = re.compile(VOTE_TOKEN_PATTERN)
 
 
 def detect_lang(query: str) -> str:
-    """Python mirror of functions.textstats.lang_id (distinct-stopword vote;
-    unique max wins, ties and zero hits → 'und')."""
+    """Python mirror of functions.textstats.lang_id (distinct-stopword vote
+    over the ASCII+Cyrillic alphabet; unique max wins, ties and zero hits →
+    'und'). Covers en/de/fr/es/ru/uk — the reference's langdetect branch
+    (web/app.py:33) routes exactly the uk/ru queries this now detects."""
     toks = set(_TOKEN_RE.findall(query.lower()))
     hits = {lang: len(toks & set(sw)) for lang, sw in STOPWORDS.items()}
     best = max(hits.values())
@@ -53,7 +55,8 @@ class LangRoutedIndex:
     detect_lang; 'und' falls back to an identity-analyzed index over ALL docs
     (the reference's default index)."""
 
-    def __init__(self, documents: DataFrame, langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    def __init__(self, documents: DataFrame,
+                 langs: tuple[str, ...] = ("en", "de", "fr", "es", "ru", "uk"),
                  analyzers: dict[str, Analyzer] | None = None, text_col: str = "text"):
         self.langs = tuple(langs)
         self._analyzers = {**{lang: ANALYZERS.get(lang, IDENTITY_ANALYZER) for lang in langs},
