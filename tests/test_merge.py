@@ -97,3 +97,41 @@ def test_merge_expunges_tombstones(spark, tmp_path_factory):
     post_ids = {r["doc_id"] for r in decode_store_postings(segs).select("doc_id").distinct().collect()}
     doc_ids = {r["doc_id"] for r in mdocs.select("doc_id").collect()}
     assert post_ids <= doc_ids
+
+
+def test_merge_carries_analyzer(spark, tmp_path_factory):
+    """Merging analyzer-built stores must (a) refuse mismatched analyzers,
+    (b) copy analyzer.json into the merged store, and (c) recompute the title
+    avgdl with THAT analyzer — so the merged store's query side still analyzes
+    exactly like its index side (search_analyzer == index analyzer pin)."""
+    import json
+
+    from ucuddle_search_engine_spark.functions.analyze import ANALYZERS
+    from ucuddle_search_engine_spark.plans.build_index import load_analyzer
+
+    an = ANALYZERS["en"]
+    big = synth_corpus(spark, 120, partitions=4).cache()
+    small = big.limit(0).unionByName(synth_corpus(spark, 80, partitions=2))
+    dir_a = str(tmp_path_factory.mktemp("an_a"))
+    dir_b = str(tmp_path_factory.mktemp("an_b"))
+    out = str(tmp_path_factory.mktemp("an_m"))
+    build_index_resumable(spark, small, dir_a, n_units=2, analyzer=an)
+    build_index_resumable(spark, big, dir_b, n_units=2, analyzer=an)
+
+    merge_stores(spark, dir_a, dir_b, out)
+    assert load_analyzer(out) == an  # config carried
+
+    # cstats must equal a fresh analyzer build over the union (title avgdl
+    # tokenized with the analyzer, not the identity tokenizer)
+    fresh_dir = str(tmp_path_factory.mktemp("an_f"))
+    build_index_resumable(spark, big, fresh_dir, n_units=2, analyzer=an)
+    def cs(d):
+        with open(os.path.join(d, "cstats.json")) as f:
+            return sorted((r["field"], r["n_docs"], round(r["avgdl"], 9)) for r in json.load(f))
+    assert cs(out) == cs(fresh_dir)
+
+    # mismatched analyzers must refuse to merge
+    plain_dir = str(tmp_path_factory.mktemp("an_p"))
+    build_index_resumable(spark, small, plain_dir, n_units=2)  # identity analyzer
+    with pytest.raises(ValueError, match="different analyzers"):
+        merge_stores(spark, plain_dir, dir_b, str(tmp_path_factory.mktemp("an_x")))

@@ -201,3 +201,39 @@ def test_df_invariant_and_postings_sidecar(spark, corpus, tmp_path_factory):
            for r in highlight_hits(topk_mem, idx.docs, idx.postings, ["t0", "t1"]).collect()}
     assert disk == mem
     assert any("<b>" in s for _, s in disk.values())
+
+
+def test_unit_fingerprints_single_pass(spark, corpus):
+    """_unit_fingerprints must (a) agree with the per-unit _fingerprint
+    formula exactly and (b) launch exactly ONE Spark job — not one scan per
+    unit (the 100 TB regression this guards against)."""
+    from ucuddle_search_engine_spark.operators.postings import build_docs
+    from ucuddle_search_engine_spark.plans.build_index import (
+        _fingerprint,
+        _unit_col,
+        _unit_fingerprints,
+    )
+
+    docs = build_docs(corpus, num_shards=3, scale_ids="prefix").withColumn(
+        "_unit", _unit_col(N_UNITS)
+    ).persist()
+    docs.count()  # materialize outside the measured window
+
+    sc = spark.sparkContext
+    sc.setJobGroup("fp_single_pass", "unit fingerprints")
+    try:
+        fps = _unit_fingerprints(docs, N_UNITS + 1)  # +1: an empty unit
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("fp_single_pass")
+    # one aggregation; AQE materializes the shuffle stage as its own job, so
+    # ≤2 jobs total — the regression guard is that it is O(1), not O(n_units)
+    assert len(jobs) <= 2, f"fingerprint pass ran {len(jobs)} jobs"
+
+    want = {
+        pid: _fingerprint(docs.filter(F.col("_unit") == pid).select("repo", "path", "commit"))
+        for pid in range(N_UNITS + 1)
+    }
+    assert fps == want
+    assert fps[N_UNITS] == "empty"
+    docs.unpersist()

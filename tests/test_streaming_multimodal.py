@@ -173,3 +173,54 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     truth = {(1, 0): (3, 3.0), (2, 0): (3, 13.5), (1, 1): (2, 106.0), (2, 1): (1, 40.0)}
     for k, v in got.items():
         assert truth[k] == v, (k, v)
+
+
+def test_sessionize_stream_counter_survives_timeout(spark, tmp_path):
+    """A user whose session was closed by EVENT-TIME TIMEOUT and who then
+    returns must continue at session_no+1 (sentinel state keeps the counter);
+    the pre-fix behavior re-emitted a duplicate (user_id, 0) key."""
+    import datetime as dt
+    import glob
+    import os
+    import time
+
+    from ucuddle_search_engine_spark.streaming.windows import sessionize_stream, EVENTS_SCHEMA
+
+    def ev(eid, uid, t):
+        return (eid, dt.datetime(2024, 1, 1, 0, 0, 0, tzinfo=dt.timezone.utc)
+                + dt.timedelta(seconds=t), uid, "click", t / 10.0, "{}")
+
+    # gap 100s. f1: u1 @0,10 (open session). f2: u3 @5000 advances the
+    # watermark past u1's timeout. f3: u3 @5100 — u1 has NO data, so its
+    # timeout fires (emits u1 s0, leaves the sentinel). f4: u1 returns
+    # @6000 then @6200 (>gap apart → the 6000 session closes in-batch).
+    files = [
+        [ev(1, 1, 0), ev(2, 1, 10)],
+        [ev(3, 3, 5000)],
+        [ev(4, 3, 5100)],
+        [ev(5, 1, 6000), ev(6, 1, 6200)],
+    ]
+    src = str(tmp_path / "events_in")
+    now = time.time()
+    for i, rows in enumerate(files):
+        before = set(glob.glob(f"{src}/*.parquet"))
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        for p in set(glob.glob(f"{src}/*.parquet")) - before:
+            os.utime(p, (now - 60 + i, now - 60 + i))
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_s=100)
+        .writeStream.outputMode("append").format("memory").queryName("sess_timeout_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["user_id"], r["session_no"], r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM sess_timeout_out").collect()
+        if r["user_id"] == 1
+    )
+    # exactly two u1 sessions, MONOTONE numbering — no duplicate (1, 0)
+    assert rows == [(1, 0, 2, 1.0), (1, 1, 1, 600.0)], rows

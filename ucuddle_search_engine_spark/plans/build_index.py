@@ -71,6 +71,21 @@ def _fingerprint(corpus_unit: DataFrame) -> str:
     return f"{row['n']}-{int(row['s']):x}"
 
 
+def _unit_fingerprints(docs: DataFrame, n_units: int) -> dict[int, str]:
+    """Every unit's fingerprint in ONE grouped-aggregation job (count + sum of
+    60-bit md5 prefixes, the same formula as _fingerprint). The per-unit
+    filter-and-aggregate variant launched n_units full corpus scans — at
+    100 TB × 64 units that is 64 corpus reads before any build work."""
+    fp_rows = docs.groupBy("_unit").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            md5_prefix_long(F.concat_ws("/", "repo", "path", "commit")).cast("decimal(38,0)")
+        ).alias("s"),
+    ).collect()
+    by_unit = {int(r["_unit"]): f"{r['n']}-{int(r['s']):x}" for r in fp_rows}
+    return {pid: by_unit.get(pid, "empty") for pid in range(n_units)}
+
+
 def _global_field_stats(docs: DataFrame, analyzer=None) -> DataFrame:
     """(field, n_docs, avgdl) over the whole corpus — matches
     operators.postings.collection_stats semantics (docs with ≥1 token)."""
@@ -157,10 +172,7 @@ def build_index_resumable(
     # all unit fingerprints first; skip-on-resume is only allowed when the
     # WHOLE corpus is unchanged (identical-corpus crash-resume). Any mismatch
     # → invalidate and rebuild all units.
-    fps = {
-        pid: _fingerprint(docs.filter(F.col("_unit") == pid).select("repo", "path", "commit"))
-        for pid in range(n_units)
-    }
+    fps = _unit_fingerprints(docs, n_units)
     corpus_changed = any(
         manifest.fingerprint(pid) is not None and manifest.fingerprint(pid) != fps[pid]
         for pid in range(n_units)

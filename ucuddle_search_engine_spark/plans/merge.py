@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_prefix_long
 from ..operators.ids import assign_doc_ids_prefix
 from ..operators.segments import build_segments
-from .build_index import TERM_BUCKETS, _global_field_stats
+from .build_index import TERM_BUCKETS, _global_field_stats, load_analyzer
 
 
 def decode_store_postings(segments: DataFrame) -> DataFrame:
@@ -76,8 +76,21 @@ def _load_docs(spark: SparkSession, store: str) -> DataFrame:
 def merge_stores(spark: SparkSession, left: str, right: str, out_dir: str,
                  num_shards: int = 3, block_size: int = 128) -> dict:
     """Merge two written stores into a fresh store at out_dir (docs +
-    tb-partitioned segments + tstats + cstats). Right wins on (repo, path)
-    conflicts; tombstones of both inputs are expunged."""
+    tb-partitioned segments + tstats + cstats + analyzer config). Right wins
+    on (repo, path) conflicts; tombstones of both inputs are expunged.
+
+    Analyzer parity: the merged store's query side must analyze exactly like
+    the inputs' index side (the search_analyzer == index analyzer pin,
+    crawler/functs_with_elastic.go:85-94), so the inputs' analyzer.json is
+    carried into out_dir and used for the recomputed title avgdl; stores
+    built with DIFFERENT analyzers share no token space and refuse to merge."""
+    an_left, an_right = load_analyzer(left), load_analyzer(right)
+    if an_left != an_right:
+        raise ValueError(
+            "refusing to merge stores built with different analyzers: "
+            f"{left} vs {right} — their index token spaces are incompatible"
+        )
+    analyzer = an_left
     a, b = _load_docs(spark, left), _load_docs(spark, right)
     key = ["repo", "path"]
     a_kept = a.join(b.select(*key), key, "left_anti")  # right wins conflicts
@@ -87,7 +100,7 @@ def merge_stores(spark: SparkSession, left: str, right: str, out_dir: str,
     docs = assign_doc_ids_prefix(merged_src.drop("doc_id", "shard"), key).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(num_shards)).cast("int")
     )
-    cstats = _global_field_stats(docs).persist()
+    cstats = _global_field_stats(docs, analyzer=analyzer).persist()
     cstats.count()
 
     # old→new id mapping per input store (hash join on the uniform old id)
@@ -124,6 +137,11 @@ def merge_stores(spark: SparkSession, left: str, right: str, out_dir: str,
     )
     with open(os.path.join(out_dir, "cstats.json"), "w") as f:
         json.dump([r.asDict() for r in cstats.collect()], f)
+    if analyzer is not None:
+        from dataclasses import asdict
+
+        with open(os.path.join(out_dir, "analyzer.json"), "w") as f:
+            json.dump(asdict(analyzer), f)
     n = docs.count()
     cstats.unpersist()
     return {"n_docs": n}

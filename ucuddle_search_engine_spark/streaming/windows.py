@@ -54,7 +54,8 @@ SESSION_STATE = T.StructType(
 )
 
 
-def sessionize_stream(events: DataFrame, gap_s: int = 1800, watermark: str = "0 seconds") -> DataFrame:
+def sessionize_stream(events: DataFrame, gap_s: int = 1800, watermark: str = "0 seconds",
+                      retention_s: int | None = None) -> DataFrame:
     """Custom STATEFUL streaming operator (applyInPandasWithState): per-user
     gap sessionization with state carried across micro-batches. A session
     closes when a later event arrives more than gap_s after it (emitted with
@@ -62,18 +63,40 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800, watermark: str = "0 
     sessionizer produces) or when event-time timeout fires; the still-open
     session per user lives in the state store.
 
-    Scale posture: state is one tiny row per ACTIVE user, keyed state store
-    partitioning = groupBy(user_id) shuffle; per-batch work is vectorized
-    pandas over that user's Arrow rows."""
+    After a timeout emission the state is NOT dropped: a sentinel row
+    (n_events=0) keeps the per-user session counter so a returning user
+    continues at session_no+1 instead of duplicating already-emitted keys.
+    The sentinel itself expires after retention_s (default 10×gap_s) so state
+    stays bounded to recently-active users; a user returning after retention
+    restarts numbering at 0 (documented trade-off: bounded state vs forever-
+    monotone counters — pick retention accordingly).
+
+    Scale posture: state is one tiny row per RECENTLY-ACTIVE user, keyed state
+    store partitioning = groupBy(user_id) shuffle; per-batch work is
+    vectorized pandas over that user's Arrow rows."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    retention = retention_s if retention_s is not None else 10 * gap_s
+    if retention <= gap_s:
+        raise ValueError("retention_s must exceed gap_s (sentinel outlives the session timeout)")
+
+    def _set_timeout(state, target_ms: int):
+        # EventTimeTimeout requires a timestamp strictly above the watermark
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(int(target_ms), wm + 1))
 
     def fn(key, pdfs, state: "GroupState"):
         (user_id,) = key
         if state.hasTimedOut:
             last_ts, n, tv, sno = state.get
-            state.remove()
+            if n == 0:
+                state.remove()  # sentinel expired → forget the user entirely
+                return
+            # close the open session, keep the counter in a sentinel
+            state.update((float(last_ts), 0, 0.0, int(sno) + 1))
+            _set_timeout(state, (last_ts + retention) * 1000)
             yield pd.DataFrame(
                 [{"user_id": user_id, "session_no": sno, "n_events": n, "total_value": tv}]
             )
@@ -83,6 +106,8 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800, watermark: str = "0 
         val = rows["value"].to_numpy()
         if state.exists:
             last_ts, n, tv, sno = state.get
+            if n == 0:
+                last_ts = None  # sentinel: counter only, no open session
         else:
             last_ts, n, tv, sno = None, 0, 0.0, 0
         out = []
@@ -96,7 +121,7 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800, watermark: str = "0 
             n += 1
             tv += float(v)
         state.update((float(last_ts), int(n), float(tv), int(sno)))
-        state.setTimeoutTimestamp(int((last_ts + gap_s) * 1000))
+        _set_timeout(state, (last_ts + gap_s) * 1000)
         yield pd.DataFrame(out, columns=["user_id", "session_no", "n_events", "total_value"])
 
     return (
