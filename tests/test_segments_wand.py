@@ -176,3 +176,51 @@ def test_pagination(idx, searcher):
     s2 = [(r["doc_id"], r["score"]) for r in
           searcher.search_terms(terms, k=10, mode="or", offset=10, algorithm="wand").collect()]
     assert s1 + s2 == sfull
+
+
+def test_blocklist_unsorted_ranges_never_underestimate():
+    """A _BlockList whose block_no order is NOT doc order (a store mixing
+    builds without a unit column) must still give range_max_ub bounds that
+    are >= the true max over intersecting blocks — pre-fix, searchsorted over
+    unsorted min/max arrays silently underestimated and block-max OR pruning
+    could drop true top-k docs."""
+    import numpy as np
+    import pandas as pd
+
+    from ucuddle_search_engine_spark.functions.varbyte import encode_doc_ids, vb_encode
+    from ucuddle_search_engine_spark.operators.wand import _BlockList
+
+    rng = np.random.RandomState(7)
+    # 8 disjoint doc ranges, deliberately shuffled w.r.t. block_no
+    ranges = [(i * 100, i * 100 + 50) for i in range(8)]
+    perm = rng.permutation(8)
+    rows = []
+    for bno, ri in enumerate(perm):
+        lo, hi = ranges[ri]
+        docs = np.array([lo, (lo + hi) // 2, hi], dtype=np.int64)
+        rows.append({
+            "block_no": bno, "min_doc": lo, "max_doc": hi, "n": 3,
+            "max_impact": 0.1 + ri,  # distinct per range
+            "doc_bytes": encode_doc_ids(docs),
+            "tf_bytes": vb_encode(np.array([1, 2, 1], np.int64)),
+            "dl_bytes": vb_encode(np.array([10, 10, 10], np.int64)),
+        })
+    L = _BlockList(pd.DataFrame(rows), weight_idf=1.0, avgdl=10.0)
+
+    mins = np.array([r[0] for r in ranges]); maxs = np.array([r[1] for r in ranges])
+    ubs_true = np.array([0.1 + i for i in range(8)])
+    for lo, hi in [(0, 1000), (120, 130), (0, 40), (640, 800), (55, 99), (310, 520)]:
+        inter = (maxs >= lo) & (mins <= hi)
+        want = float(ubs_true[inter].max()) if inter.any() else 0.0
+        got = L.range_max_ub(lo, hi)
+        assert got >= want - 1e-12, (lo, hi, got, want)
+
+    # OVERLAPPING ranges (two builds over the same id space) → conservative
+    rows2 = rows[:4]
+    for i, r in enumerate(rows[4:]):
+        r2 = dict(r); r2["min_doc"] = 10 + i * 90; r2["max_doc"] = 95 + i * 90
+        rows2.append(r2)
+    L2 = _BlockList(pd.DataFrame(rows2), weight_idf=1.0, avgdl=10.0)
+    assert not L2._range_exact  # interleaved ranges detected
+    # conservative fallback: every range query sees the global max ub
+    assert L2.range_max_ub(0, 5) == float(np.max(L2.ubs))

@@ -175,7 +175,7 @@ class _BlockList:
     block. Feeds the vectorized block-max scorer."""
 
     __slots__ = ("ubs", "min_docs", "max_docs", "ns", "weight_idf", "avgdl",
-                 "doc_bytes", "tf_bytes", "dl_bytes")
+                 "doc_bytes", "tf_bytes", "dl_bytes", "_range_exact")
 
     def __init__(self, blocks: pd.DataFrame, weight_idf: float, avgdl: float):
         blocks = blocks.sort_values("block_no")  # doc-ordered, disjoint ranges
@@ -188,9 +188,33 @@ class _BlockList:
         self.doc_bytes = list(blocks["doc_bytes"])
         self.tf_bytes = list(blocks["tf_bytes"])
         self.dl_bytes = list(blocks["dl_bytes"])
+        # Defensive (mirrors _PList): block_no order must be doc order with
+        # DISJOINT ranges or range_max_ub's searchsorted silently
+        # underestimates bounds and block-max pruning drops true top-k docs
+        # (e.g. a store mixing several builds without a unit column). Sort by
+        # min_doc; if ranges still interleave, every range query must see the
+        # global max (single-interval bound) — coarser pruning, never wrong.
+        self._range_exact = True
+        if len(self.min_docs) > 1:
+            if not (self.min_docs[1:] >= self.min_docs[:-1]).all():
+                order = np.argsort(self.min_docs, kind="stable")
+                self.ubs = self.ubs[order]
+                self.min_docs = self.min_docs[order]
+                self.max_docs = self.max_docs[order]
+                self.ns = self.ns[order]
+                self.doc_bytes = [self.doc_bytes[i] for i in order]
+                self.tf_bytes = [self.tf_bytes[i] for i in order]
+                self.dl_bytes = [self.dl_bytes[i] for i in order]
+            if not (
+                (self.max_docs[1:] >= self.max_docs[:-1]).all()
+                and (self.min_docs[1:] > self.max_docs[:-1]).all()
+            ):
+                self._range_exact = False  # overlapping ranges
 
     def range_max_ub(self, lo: int, hi: int) -> float:
         """Max block ub over blocks whose doc range intersects [lo, hi]."""
+        if not self._range_exact:
+            return float(self.ubs.max()) if len(self.ubs) else 0.0
         i0 = int(np.searchsorted(self.max_docs, lo, side="left"))
         i1 = int(np.searchsorted(self.min_docs, hi, side="right"))
         return float(self.ubs[i0:i1].max()) if i0 < i1 else 0.0
