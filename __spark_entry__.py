@@ -538,30 +538,45 @@ PMI_MIN_COUNT = 8
 
 def q_bigram_pmi(spark, sf_dir):
     """Collocation mining: pointwise mutual information over adjacent token
-    pairs (phrase-vocabulary induction for tokenizer/corpus work). All Column
-    expressions: posexplode window join → counts → PMI."""
+    pairs (phrase-vocabulary induction for tokenizer/corpus work).
+
+    Adjacent pairs are a PER-ROW array operation — zip_with over two slices of
+    the token array → one explode, one groupBy, ZERO self-joins (the previous
+    posexplode + (doc_id, pos+1) self-join shuffled the whole token stream
+    twice). Both normalization totals come from ONE 1-row aggregate over the
+    same scan (Σlen and Σmax(len−1,0)) broadcast-cross-joined in — no
+    mid-plan driver actions, the whole query is a single declarative plan."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)).alias("pos", "term")
+    tok_arr = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
+    base = docs.select(tok_arr.alias("t"))
+    n_pairs = F.greatest(F.size("t") - 1, F.lit(0))
+    pairs = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", F.lit(1), n_pairs),
+                F.slice("t", F.lit(2), n_pairs),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    uni = base.select(F.explode("t").alias("term")).groupBy("term").agg(F.count("*").alias("n"))
+    # Σn_ab == Σmax(len−1, 0) by construction, so both totals fall out of the
+    # base scan — 1 row, broadcast
+    totals = base.agg(
+        F.sum(F.size("t")).cast("double").alias("n_toks"),
+        F.sum(n_pairs).cast("double").alias("n_bi"),
     )
-    a, b = toks.alias("a"), toks.alias("b")
-    bigrams = (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1))
-        .groupBy(F.col("a.term").alias("w1"), F.col("b.term").alias("w2"))
-        .agg(F.count("*").alias("n_ab"))
-    )
-    uni = toks.groupBy("term").agg(F.count("*").alias("n"))
-    total = toks.count()
-    total_bi = bigrams.agg(F.sum("n_ab")).first()[0]
-    out = (
+    return (
         bigrams.filter(F.col("n_ab") >= PMI_MIN_COUNT)
         .join(uni.select(F.col("term").alias("w1"), F.col("n").alias("n1")), "w1")
         .join(uni.select(F.col("term").alias("w2"), F.col("n").alias("n2")), "w2")
+        .crossJoin(F.broadcast(totals))
         .withColumn(
             "pmi",
             F.round(
-                F.log((F.col("n_ab") / F.lit(float(total_bi)))
-                      / ((F.col("n1") / F.lit(float(total))) * (F.col("n2") / F.lit(float(total))))),
+                F.log((F.col("n_ab") / F.col("n_bi"))
+                      / ((F.col("n1") / F.col("n_toks")) * (F.col("n2") / F.col("n_toks")))),
                 6,
             ),
         )
@@ -569,7 +584,6 @@ def q_bigram_pmi(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(20)
     )
-    return out
 
 
 def _bigram_pmi_sql() -> str:

@@ -308,3 +308,48 @@ def test_lsh_hot_bucket_skew(spark):
     n_boiler = pairs.filter("doc_a < 10000 and doc_b < 10000").count()
     assert n_boiler == 1000 * 999 // 2
     assert pairs.filter("doc_a >= 10000 or doc_b >= 10000").count() < 1000  # no mass cross-pairing
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """max_shingle_df drops boilerplate shingles from the shingle SPACE: the
+    hot bucket (a header shared by every doc) contributes zero pairs, and the
+    surviving pairs carry the exact Jaccard of the capped representation —
+    verified against a brute-force pandas computation of the same space."""
+    import itertools
+
+    from ucuddle_search_engine_spark.operators.dedup import (
+        DEFAULT_SHINGLE,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    header = "copyright footer boilerplate navigation menu "
+    bodies = {
+        0: "alpha beta gamma delta epsilon zeta", 1: "alpha beta gamma delta epsilon eta",
+        2: "totally different words appear here now", 3: "alpha beta gamma delta epsilon zeta",
+    }
+    rows = [(i, header + b) for i, b in bodies.items()]
+    # plus 60 docs that share ONLY the header (the hot bucket)
+    rows += [(100 + i, header + f"unique tail {i} x{i * 3} y{i * 7} z{i * 11}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cap = 10
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, 0.5, max_shingle_df=cap).collect()
+    }
+
+    # brute force over the SAME capped shingle space
+    sh = shingles(df, "doc_id", "text", DEFAULT_SHINGLE).toPandas()
+    dfreq = sh.groupby("shingle")["doc_id"].nunique()
+    keep = set(dfreq[dfreq <= cap].index)
+    sets = {d: set(g[g.isin(keep)]) for d, g in sh.groupby("doc_id")["shingle"]}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= 0.5:
+            want[(a, b)] = round(inter / union, 6)
+    assert got == want and (0, 3) in got  # identical bodies still pair
+    # and no header-only pair survives
+    assert all(a < 100 and b < 100 for a, b in got)

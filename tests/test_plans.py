@@ -132,3 +132,36 @@ def test_lang_routed_search_plan(spark, documents):
     plan = _plan(router.search("the windows and streams for customers", k=5))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bigram_pmi_plan_no_self_join(spark):
+    """Adjacent-pair extraction is a per-row zip_with, so the token stream is
+    never self-joined (the old posexplode + pos+1 join shuffled it twice);
+    the only joins left are the two unigram-count lookups plus the broadcast
+    1-row totals, and no driver action splits the plan."""
+    import __spark_entry__ as entry
+
+    df = entry.q_bigram_pmi(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "zip_with" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan  # totals
+    # exactly 2 equi-joins (w1, w2 unigram lookups) — a self-join on
+    # (doc_id, pos) would add a third (formatted explain lists each node once
+    # as a "(n) NodeName" detail header)
+    import re
+
+    n_equi = len(re.findall(r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+                            plan, re.M))
+    assert n_equi <= 2, plan
+    assert "posexplode" not in plan
+
+
+def test_simhash_plan_no_bit_fanout(spark, documents):
+    """SimHash packs 60 bits via conditional-sum aggregates over the un-fanned
+    (doc_id, term, tf, h) rows — no ×60 crossJoin multiplying the exchange
+    input (the 100 TB regression this guards against)."""
+    from ucuddle_search_engine_spark.operators.dedup import simhash
+
+    plan = _plan(simhash(documents))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" not in plan  # zero joins of any kind

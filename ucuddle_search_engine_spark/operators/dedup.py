@@ -24,6 +24,8 @@ block-join keyed by LSH bucket when `bucketed=True`.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -198,11 +200,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = DEFAULT_SHINGLE,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs via shingle-inverted join:
     explode shingles → self-join on shingle (each shingle is a bucket) →
-    |A∩B| per pair → |A∪B| = |A|+|B|−|A∩B|. O(Σ bucket²), not O(N²)."""
-    sh = shingles(df, id_col, text_col, shingle_n).persist()
+    |A∩B| per pair → |A∪B| = |A|+|B|−|A∩B|. O(Σ bucket²), not O(N²).
+
+    max_shingle_df caps the hot-shingle hazard: a boilerplate shingle shared
+    by 10⁵ docs makes its bucket contribute 10¹⁰ pairs while carrying no
+    Jaccard signal. With the cap, shingles whose document frequency exceeds
+    it are dropped from the shingle SPACE — both the intersections and the
+    per-doc sizes are computed over the filtered space, so the result is the
+    exact Jaccard of the capped representation (the standard stopword-shingle
+    treatment), not a biased estimate. None (default) = uncapped exact —
+    safe only when no shingle is boilerplate-hot (the oracle-checked query);
+    at 100 TB always set a cap (or verify only within LSH candidate
+    clusters, operators.dedup.lsh_candidate_pairs)."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -227,29 +250,32 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     Term bits come from the first 15 hex chars of md5 (60 bits, portable);
     per-bit votes are Σ(tf if bit set else −tf); fingerprint packs the sign
-    bits. Pure DataFrame ops: explode → bit fan-out → conditional agg → pack.
+    bits. ONE groupBy("doc_id") with 60 conditional-sum aggregate expressions
+    over the un-fanned (doc_id, term, tf, h) rows — the previous ×60 bit
+    crossJoin fed the exchange 60× the posting count; map-side combine
+    bounded the shuffle but not the exchange input. Same result, 1/60 the
+    rows through the plan.
     """
-    spark = df.sparkSession
     toks = tokenize_terms(df, text_col).select(
         F.col(id_col).alias("doc_id"), F.explode("_toks").alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     hashed = tf.withColumn("h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"))
-    bits = F.broadcast(spark.range(60).select(F.col("id").cast("int").alias("bit")))
-    votes = (
-        hashed.crossJoin(bits)
-        .withColumn(
-            "vote",
-            F.when(F.expr("shiftright(h, bit) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy("doc_id").agg(
+    vote_cols = [
         F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"v{b}")
+        for b in range(60)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*vote_cols)
+    packed = reduce(
+        lambda acc, b: acc + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(60),
+        F.lit(0).cast("long"),
     )
+    return votes.select("doc_id", packed.alias("simhash"))
 
 
 def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
