@@ -351,6 +351,56 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), EMB_NEARDUP_THRESHOLD)
 
 
+EMB_DIM = 64  # testdata embeddings dim (constant across SFs)
+
+
+def q_embedding_neardup_bucketed(spark, sf_dir):
+    """The 100 TB near-dup path, oracle-checked: banded hyperplane LSH
+    (8 tables × 3 sign bits from seed-42 planes) → bucket-local candidate
+    join → exact cosine verify. The DuckDB oracle replays the identical
+    pipeline with the planes rendered as SQL literals, so the scale path —
+    not just the all-pairs oracle variant — is machine-checked."""
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), EMB_NEARDUP_THRESHOLD, bucketed=True
+    )
+
+
+def _emb_bucketed_sql(n_tables: int = 8, bits_per_table: int = 3) -> str:
+    from ucuddle_search_engine_spark.operators.ann import _planes
+
+    planes = _planes(EMB_DIM, n_tables * bits_per_table)
+    sig_terms = "\n                 + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in p)}]) > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, p in enumerate(planes)
+    )
+    mask = (1 << bits_per_table) - 1
+    keys = "\n          UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id, (sig >> {t * bits_per_table}) & {mask} AS bucket FROM sigs"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+          FROM embeddings
+        ),
+        sigs AS (SELECT vec_id, {sig_terms} AS sig FROM n),
+        keyed AS ({keys}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+          FROM keyed a
+          JOIN keyed b ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(round(list_dot_product(na.v, nb.v) / (na.norm * nb.norm), 6) AS DOUBLE) AS cosine
+        FROM cand
+        JOIN n na ON na.vec_id = doc_a
+        JOIN n nb ON nb.vec_id = doc_b
+        WHERE list_dot_product(na.v, nb.v) / (na.norm * nb.norm) >= {EMB_NEARDUP_THRESHOLD}
+    """
+
+
 ANN_QUERY_VEC_ID = 0
 
 
@@ -358,6 +408,60 @@ def q_ann_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == ANN_QUERY_VEC_ID).select("embedding").first()[0]
     return cosine_topk_bruteforce(emb, [float(x) for x in qvec], k=10)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN, oracle-checked end-to-end: pre-trained centroid PARAMETERS
+    (operators/ivf_params.py, the FAISS ship-the-quantizer pattern) → Arrow
+    cell assignment → probe the 2 nearest cells → exact cosine top-k inside
+    them. The DuckDB oracle replays assignment/probing/scoring from the same
+    centroid literals, so the IVF scale path is machine-checked, not just
+    pytest-gated."""
+    from ucuddle_search_engine_spark.operators.ann import IVFIndex
+    from ucuddle_search_engine_spark.operators.ivf_params import IVF_CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == ANN_QUERY_VEC_ID).select("embedding").first()[0]
+    idx = IVFIndex(emb, n_probe=2, centroids=IVF_CENTROIDS)
+    return idx.topk([float(x) for x in qvec], k=10)
+
+
+def _ann_ivf_sql(n_probe: int = 2, k: int = 10) -> str:
+    from ucuddle_search_engine_spark.operators.ivf_params import IVF_CENTROIDS
+
+    vals = ",\n               ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(IVF_CENTROIDS)
+    )
+    return f"""
+        WITH cents(cell, c) AS (VALUES {vals}),
+        q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS qn
+          FROM embeddings WHERE vec_id = {ANN_QUERY_VEC_ID}
+        ),
+        probes AS (
+          SELECT cell FROM cents CROSS JOIN q
+          ORDER BY list_dot_product(c, q.qv) DESC, cell ASC LIMIT {n_probe}
+        ),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.cell ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+          ) WHERE rn = 1
+        )
+        SELECT e.vec_id,
+               CAST(round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * q.qn), 6)
+                    AS DOUBLE) AS cosine
+        FROM embeddings e
+        JOIN assign a ON a.vec_id = e.vec_id
+        CROSS JOIN q
+        WHERE a.cell IN (SELECT cell FROM probes)
+        ORDER BY cosine DESC, e.vec_id ASC LIMIT {k}
+    """
 
 
 def q_text_stats(spark, sf_dir):
@@ -909,7 +1013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_stats": q_text_stats,
         "pagerank": q_pagerank,
         "multimodal_features": q_multimodal_features,
@@ -1068,6 +1174,8 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.35
         """,
+        "embedding_neardup_bucketed": _emb_bucketed_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "ann_cosine_topk": f"""
             WITH q AS (
               SELECT CAST(embedding AS DOUBLE[]) AS qv,

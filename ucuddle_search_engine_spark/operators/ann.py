@@ -94,26 +94,33 @@ class IVFIndex:
 
     def __init__(self, emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
                  sample_rate: int = 1, train_iters: int = 8,
-                 id_col: str = "vec_id", vec_col: str = "embedding"):
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 centroids: "np.ndarray | None" = None):
         self.n_probe = n_probe
         self.id_col = id_col
         self.vec_col = vec_col
-        sampled = emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_rate)) == 0) \
-            if sample_rate > 1 else emb
-        train = np.array([r[0] for r in sampled.select(vec_col).collect()], dtype=np.float64)
-        train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
-        rng = np.random.RandomState(SEED)
-        cents = train[rng.choice(len(train), size=min(n_centroids, len(train)), replace=False)]
-        for _ in range(train_iters):
-            assign = np.argmax(train @ cents.T, axis=1)
-            for c in range(len(cents)):
-                m = train[assign == c]
-                if len(m):
-                    v = m.mean(axis=0)
-                    cents[c] = v / max(np.linalg.norm(v), 1e-12)
-        self.centroids = cents
+        if centroids is not None:
+            # Pre-trained quantizer (the FAISS pattern): centroids are index
+            # PARAMETERS — train once on a bounded sample, ship the matrix.
+            # This is also what makes the IVF pipeline SQL-oracle-replayable.
+            self.centroids = np.asarray(centroids, dtype=np.float64)
+        else:
+            sampled = emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_rate)) == 0) \
+                if sample_rate > 1 else emb
+            train = np.array([r[0] for r in sampled.select(vec_col).collect()], dtype=np.float64)
+            train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+            rng = np.random.RandomState(SEED)
+            cents = train[rng.choice(len(train), size=min(n_centroids, len(train)), replace=False)]
+            for _ in range(train_iters):
+                assign = np.argmax(train @ cents.T, axis=1)
+                for c in range(len(cents)):
+                    m = train[assign == c]
+                    if len(m):
+                        v = m.mean(axis=0)
+                        cents[c] = v / max(np.linalg.norm(v), 1e-12)
+            self.centroids = cents
 
-        cents_b = emb.sparkSession.sparkContext.broadcast(cents)
+        cents_b = emb.sparkSession.sparkContext.broadcast(self.centroids)
 
         import pandas as pd
         from pyspark.sql import types as T
