@@ -508,16 +508,35 @@ def q_pagerank(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-payload plumbing: deterministic fake feature extraction via
-    mapInPandas (rows-only check: media decode is stubbed by design)."""
+    """Binary-payload plumbing, oracle-checked: deterministic fake feature
+    extraction (16-bin byte-value histogram of the UTF-8 payload) through the
+    REAL mapInPandas stage. The corpus is pure ASCII, so byte == code point
+    and the whole histogram is DuckDB-replayable; the driver checks the raw
+    integer counts plus n_bytes (the L1-normalized float form stays the
+    pytest-covered API — JSON float formatting differs across engines).
+    Media decode itself remains stubbed by design (no image libs in env)."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = extract_features(attach_fake_payload(docs), fake=True)
-    # Serialize the array<double> for the driver's canonicalizer (pandas can't
-    # sort/hash list cells); tests keep the array-typed API.
+    feats = extract_features(attach_fake_payload(docs), fake=True, normalize=False)
+    counts = F.transform("feature", lambda x: x.cast("long"))
     return feats.select(
         "doc_id",
-        F.to_json(F.transform("feature", lambda x: F.round(x, 9))).alias("feature_json"),
+        F.to_json(counts).alias("feature_hist"),
+        F.aggregate(counts, F.lit(0).cast("long"), lambda a, x: a + x).alias("n_bytes"),
     )
+
+
+_MULTIMODAL_SQL = """
+    WITH chars AS (
+      SELECT doc_id, list_transform(regexp_extract_all(text, '[\\s\\S]'),
+                                    c -> unicode(c) // 16) AS bins
+      FROM documents
+    )
+    SELECT doc_id,
+           to_json(list_transform(range(16),
+                                  b -> len(list_filter(bins, x -> x = b)))) AS feature_hist,
+           CAST(len(bins) AS BIGINT) AS n_bytes
+    FROM chars
+"""
 
 
 def _pagerank_sql(iters: int = PR_ITERS, n: int = 500, d: float = 0.85) -> str:
@@ -589,16 +608,73 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+HIGHLIGHT_TERMS = ["spark", "window"]
+
+
 def q_search_highlight(spark, sf_dir):
-    """Full read path with snippets: top-k + bolded match windows from stored
-    positions (C7; rows-only — snippet text is engine-defined)."""
+    """Full read path with snippets (C7). The oracle-checkable part — top-k
+    ids, scores, and the merged match POSITIONS (both sides share the
+    tokenizer, so positions are SQL-derivable) — is returned; the rendered
+    snippet text is engine-defined and pinned by tests/test_highlight.py
+    instead. match_positions ships as JSON for the driver's canonicalizer."""
     from ucuddle_search_engine_spark.operators.highlight import highlight_hits
 
     documents = load_table(spark, sf_dir, "documents")
     idx = InvertedIndex.from_documents_table(documents)
-    terms = ["spark", "window"]
-    topk = idx.search_terms(terms, k=10, mode="and")
-    return highlight_hits(topk, idx.docs, idx.postings, terms)
+    topk = idx.search_terms(HIGHLIGHT_TERMS, k=10, mode="and", round_dp=6)
+    hits = highlight_hits(topk, idx.docs, idx.postings, HIGHLIGHT_TERMS, keep_positions=True)
+    return hits.select(
+        "doc_id", "score", F.to_json("match_positions").alias("match_positions")
+    )
+
+
+def _search_highlight_sql(k: int = 10) -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(HIGHLIGHT_TERMS)))
+    nterms = len(set(HIGHLIGHT_TERMS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+coll AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doclen) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (coll.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / coll.avgdl)) ) AS score,
+         count(*) AS nterms
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN coll
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS score
+  FROM scored WHERE nterms = {nterms}
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+),
+tp AS (
+  SELECT doc_id, u.term AS term, u.pos AS pos FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(t)), i -> {{'term': t[i+1], 'pos': i}})) AS u
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t FROM documents)
+  )
+),
+mp AS (
+  SELECT doc_id, to_json(list_sort(list(pos))) AS match_positions
+  FROM tp
+  WHERE term IN ({tlist}) AND doc_id IN (SELECT doc_id FROM topk)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.score, m.match_positions
+FROM topk t JOIN mp m USING (doc_id)
+"""
 
 
 SESSION_GAP_S = 1800
@@ -1221,7 +1297,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name, o_orderstatus)
         """,
-        # search_highlight: snippet text is engine-defined (rows-only check).
+        # search_highlight: ids/scores/match POSITIONS oracle-checked (shared
+        # tokenizer); the rendered snippet text is engine-defined and pinned
+        # by tests/test_highlight.py.
+        "search_highlight": _search_highlight_sql(),
         "sessionize_events": f"""
             WITH flagged AS (
               SELECT user_id, event_id, ts, value,
@@ -1245,6 +1324,8 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(CAST(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 6) AS DOUBLE), 0.0) AS qty_f
             FROM lineitem GROUP BY l_returnflag
         """,
-        # multimodal_features: media decode is stubbed (no image libs in env);
-        # driver records the weaker rows-only check by design.
+        # multimodal_features: the fake 16-bin byte histogram is fully
+        # DuckDB-replayable over the ASCII corpus (byte == code point);
+        # only the media DECODE stays stubbed (no image libs in env).
+        "multimodal_features": _MULTIMODAL_SQL,
     }

@@ -80,12 +80,16 @@ def snippet_udf(text: pd.Series, positions: pd.Series) -> pd.Series:
     )
 
 
-def highlight_hits(topk: DataFrame, docs: DataFrame, postings: DataFrame, terms: list[str]) -> DataFrame:
-    """topk (doc_id, score) → (doc_id, score, snippet).
+def highlight_hits(topk: DataFrame, docs: DataFrame, postings: DataFrame, terms: list[str],
+                   keep_positions: bool = False) -> DataFrame:
+    """topk (doc_id, score) → (doc_id, score[, match_positions], snippet).
 
     Match positions come from the already-built postings (no re-scoring, no
     re-tokenize of the corpus): filter to the query terms, semi-join to the k
     hit ids (broadcast), merge the per-term position arrays per doc.
+    keep_positions exposes the merged position array — positions are derived
+    from the SHARED tokenizer, so they are SQL-oracle-checkable even though
+    the rendered snippet text is engine-defined.
     """
     terms = sorted(set(terms))
     hit_ids = F.broadcast(topk.select("doc_id"))
@@ -96,13 +100,13 @@ def highlight_hits(topk: DataFrame, docs: DataFrame, postings: DataFrame, terms:
         .agg(F.array_sort(F.flatten(F.collect_list("positions"))).alias("match_positions"))
     )
     content = docs.select("doc_id", "content").join(hit_ids, "doc_id")
+    cols = ["doc_id", "score"] + (["match_positions"] if keep_positions else [])
     return (
         F.broadcast(topk)
         .join(pos, "doc_id", "left")
         .join(content, "doc_id")
         .select(
-            "doc_id",
-            "score",
+            *cols,
             snippet_udf(F.col("content"), F.col("match_positions")).alias("snippet"),
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -36,12 +36,14 @@ def attach_fake_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
-def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in feature: 16-bin byte-value histogram, L1-normed."""
+def _fake_decode(payload: bytes, normalize: bool = True) -> np.ndarray:
+    """Deterministic stand-in feature: 16-bin byte-value histogram, L1-normed
+    (normalize=False returns the raw integer counts as doubles — the exactly
+    SQL-replayable form the driver oracle checks)."""
     arr = np.frombuffer(payload, dtype=np.uint8)
     hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
     total = hist.sum()
-    return hist / total if total else hist
+    return hist / total if normalize and total else hist
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -52,14 +54,19 @@ def decode_image(payload: bytes) -> np.ndarray:
     )
 
 
-def extract_features(media: DataFrame, fake: bool = False, batch_rows: int = 256) -> DataFrame:
+def extract_features(media: DataFrame, fake: bool = False, batch_rows: int = 256,
+                     normalize: bool = True) -> DataFrame:
     """media (doc_id, media_type, payload, w, h) → (doc_id, feature array).
 
     mapInPandas so each task processes Arrow batches of payloads (the batch
     shape a GPU/codec stage wants); partition sizing stays the caller's knob
     via repartition before this stage.
     """
-    decode = _fake_decode if fake else decode_image
+    if fake:
+        def decode(p: bytes) -> np.ndarray:
+            return _fake_decode(p, normalize=normalize)
+    else:
+        decode = decode_image
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
