@@ -677,6 +677,28 @@ FROM topk t JOIN mp m USING (doc_id)
 """
 
 
+INGEST_EPOCH0 = 1704067200  # 2024-01-01T00:00:00Z
+INGEST_SINCE_S = 300
+
+
+def q_docs_added_since(spark, sf_dir):
+    """Time-windowed maintenance read (C10: the reference stamps
+    added_at_time on every ingested doc, crawler/functs_with_elastic.go:311):
+    'docs added since X' over the stamped docs table. Stamping here is
+    deterministic (epoch0 + doc_id seconds) so the oracle replays it; the
+    filter itself runs on the TIMESTAMP-typed added_at column exactly as the
+    admin `since` verb does against a written store."""
+    docs = load_table(spark, sf_dir, "documents")
+    stamped = docs.withColumn(
+        "added_at", F.timestamp_seconds(F.lit(INGEST_EPOCH0) + F.col("doc_id"))
+    )
+    since = F.timestamp_seconds(F.lit(INGEST_EPOCH0 + INGEST_SINCE_S))
+    return (
+        stamped.filter(F.col("added_at") >= since)
+        .select("doc_id", F.unix_timestamp("added_at").alias("added_at_epoch"))
+    )
+
+
 SESSION_GAP_S = 1800
 
 
@@ -1100,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "search_highlight": q_search_highlight,
         "sessionize_events": q_sessionize_events,
+        "docs_added_since": q_docs_added_since,
         "pivot_lineitem": q_pivot_lineitem,
         "lang_routed_search": q_lang_routed_search,
         "lang_routed_search_cyrillic": q_lang_routed_search_cyrillic,
@@ -1301,6 +1324,11 @@ def oracle_sql() -> dict[str, str]:
         # tokenizer); the rendered snippet text is engine-defined and pinned
         # by tests/test_highlight.py.
         "search_highlight": _search_highlight_sql(),
+        "docs_added_since": f"""
+            SELECT doc_id, {INGEST_EPOCH0} + doc_id AS added_at_epoch
+            FROM documents
+            WHERE {INGEST_EPOCH0} + doc_id >= {INGEST_EPOCH0 + INGEST_SINCE_S}
+        """,
         "sessionize_events": f"""
             WITH flagged AS (
               SELECT user_id, event_id, ts, value,

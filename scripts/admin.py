@@ -32,10 +32,12 @@ from ucuddle_search_engine_spark.session import get_spark
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["describe", "last-id", "search", "delete-docs", "drop", "alter", "merge"])
+    ap.add_argument("cmd", choices=["describe", "last-id", "search", "delete-docs", "drop",
+                                    "alter", "merge", "since"])
     ap.add_argument("--index", required=True)
     ap.add_argument("--query")
     ap.add_argument("--ids")
+    ap.add_argument("--ts", help="timestamp lower bound for `since` (docs added >= ts)")
     ap.add_argument("--add-column", help="name:type[:default] for `alter` (PutMapping analogue)")
     ap.add_argument("--with", dest="with_store", help="second store for `merge`")
     ap.add_argument("--out", help="output dir for `merge`")
@@ -78,6 +80,14 @@ def main() -> None:
         add_docs_column(spark, args.index, name, dtype, default)
         print(f"added column {name} {dtype} default={default}")
         spark.read.parquet(f"{args.index}/docs").printSchema()
+    elif args.cmd == "since":  # time-windowed maintenance: docs added >= ts
+        # (added_at stamped at build, C10 / functs_with_elastic.go:311) —
+        # feeds re-index / delete-by-age; parquet row-group min/max stats
+        # skip old units without a full scan.
+        hits = docs.filter(F.col("added_at") >= F.lit(args.ts).cast("timestamp"))
+        for row in hits.orderBy("doc_id").limit(args.k).collect():
+            print(row["doc_id"], row["added_at"], row["repo"], row["path"])
+        print(f"total={hits.count()}")
     elif args.cmd == "delete-docs":  # deleting (elastic_CRUD.go:141-183)
         # Soft delete: append tombstones; search anti-filters them until the
         # next rebuild (ES delete-until-merge). The docs/unit=N layout that

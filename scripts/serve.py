@@ -1,0 +1,137 @@
+"""Thin serving tier over a written store — the reference's Flask read path
+(web/app.py:26-43 renders highlighted top-20 over HTTP) re-expressed without
+any Spark job on the hot path:
+
+- open the store Spark-free (SegmentSearcher.open_local: pyarrow term stats,
+  cstats.json, tombstones),
+- analyze the query with THE STORE'S analyzer (analyzer.json — the
+  search_analyzer == index analyzer pin, crawler/functs_with_elastic.go:85-94),
+- rank via search_local (directory-pruned pyarrow read + the same numpy
+  scorers the distributed path uses — identical ranking, ms latency),
+- fetch the k hit titles from the docs dataset (row-group-pruned id filter),
+  capitalized like the reference does (C6, web/elastic_interaction.py:84).
+
+stdlib http.server only — no framework dependencies.
+
+    python scripts/serve.py --index DIR [--port 8080]
+    GET /search?q=free+text&k=10&mode=or   → JSON hits
+    GET /health                            → {"docs": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from ucuddle_search_engine_spark.operators.wand import SegmentSearcher  # noqa: E402
+
+
+def _load_analyzer_py(store_dir: str):
+    """analyzer.json → analyze_py callable (identity chain when absent)."""
+    path = os.path.join(store_dir, "analyzer.json")
+    from ucuddle_search_engine_spark.functions.analyze import Analyzer, IDENTITY_ANALYZER
+
+    if not os.path.exists(path):
+        return IDENTITY_ANALYZER
+    with open(path) as f:
+        cfg = json.load(f)
+    return Analyzer(
+        token_pattern=cfg["token_pattern"],
+        stopwords=tuple(cfg["stopwords"]),
+        stem_rules=tuple((s, r) for s, r in cfg["stem_rules"]),
+        min_stem=cfg["min_stem"],
+    )
+
+
+class SearchApp:
+    def __init__(self, store_dir: str):
+        self.store_dir = store_dir
+        self.searcher = SegmentSearcher.open_local(store_dir)
+        self.analyzer = _load_analyzer_py(store_dir)
+
+    def search(self, q: str, k: int = 10, mode: str = "or") -> list[dict]:
+        if len(q.strip()) < 3:  # length guard (web/app.py:30-31)
+            return []
+        terms = self.analyzer.analyze_py(q)
+        if not terms:
+            return []
+        hits = self.searcher.search_local(terms, k=k, mode=mode)
+        if not hits:
+            return []
+        import pyarrow.dataset as pds
+
+        ids = [d for d, _ in hits]
+        tbl = pds.dataset(os.path.join(self.store_dir, "docs"), partitioning="hive").to_table(
+            filter=pds.field("doc_id").isin(ids),
+            columns=["doc_id", "title", "repo", "path"],
+        )
+        meta = {
+            d: (t, r, p)
+            for d, t, r, p in zip(tbl["doc_id"].to_pylist(), tbl["title"].to_pylist(),
+                                  tbl["repo"].to_pylist(), tbl["path"].to_pylist())
+        }
+        out = []
+        for doc_id, score in hits:
+            title, repo, path = meta.get(doc_id, ("", "", ""))
+            title = (title[:1].upper() + title[1:]) if title else ""  # C6
+            out.append({"doc_id": doc_id, "score": round(score, 6),
+                        "title": title, "repo": repo, "path": path})
+        return out
+
+    def n_docs(self) -> int:
+        return int(self.searcher._coll[0][0]) if 0 in self.searcher._coll else 0
+
+
+def make_handler(app: SearchApp):
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            u = urlparse(self.path)
+            try:
+                if u.path == "/health":
+                    body = {"docs": app.n_docs()}
+                elif u.path == "/search":
+                    qs = parse_qs(u.query)
+                    body = app.search(
+                        q=qs.get("q", [""])[0],
+                        k=min(int(qs.get("k", ["10"])[0]), 100),
+                        mode=qs.get("mode", ["or"])[0],
+                    )
+                else:
+                    self.send_error(404)
+                    return
+            except Exception as e:  # pragma: no cover - defensive
+                self.send_error(500, str(e))
+                return
+            payload = json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    return Handler
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args()
+    app = SearchApp(args.index)
+    srv = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(app))
+    print(f"serving {args.index} on http://127.0.0.1:{args.port}  (/search?q=...&k=10&mode=or)")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

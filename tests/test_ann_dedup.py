@@ -353,3 +353,40 @@ def test_jaccard_hot_shingle_cap(spark):
     assert got == want and (0, 3) in got  # identical bodies still pair
     # and no header-only pair survives
     assert all(a < 100 and b < 100 for a, b in got)
+
+
+def test_connected_components_star_long_chain(spark):
+    """The O(log n) large-star/small-star variant must converge on a graph
+    whose DIAMETER far exceeds any reasonable round budget (a 200-node path),
+    and 'auto' must fall back to it instead of raising."""
+    from ucuddle_search_engine_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 200
+    chain = [(i, i + 1) for i in range(n - 1)]                      # 0-1-2-…-199
+    other = [(1000 + i, 1000 + (i + 1) % 5) for i in range(5)]      # small cycle
+    edges = spark.createDataFrame(chain + other, "doc_a long, doc_b long")
+
+    got = {r["doc_id"]: r["component"] for r in connected_components_star(edges).collect()}
+    assert all(got[i] == 0 for i in range(n))
+    assert all(got[1000 + i] == 1000 for i in range(5))
+    assert len(got) == n + 5
+
+    # auto: min-label gives up after max_iter and the star variant finishes
+    got2 = {r["doc_id"]: r["component"]
+            for r in connected_components(edges, max_iter=4, algorithm="auto").collect()}
+    assert got2 == got
+
+    # and on a dense random graph both variants agree
+    import random
+    rng = random.Random(3)
+    rnd = [(rng.randrange(50), rng.randrange(50)) for _ in range(80)]
+    rnd = [(a, b) for a, b in rnd if a != b]
+    redges = spark.createDataFrame(rnd, "doc_a long, doc_b long")
+    a = sorted((r["doc_id"], r["component"])
+               for r in connected_components(redges, algorithm="minlabel").collect())
+    b = sorted((r["doc_id"], r["component"])
+               for r in connected_components_star(redges).collect())
+    assert a == b

@@ -237,3 +237,97 @@ def test_unit_fingerprints_single_pass(spark, corpus):
     assert fps == want
     assert fps[N_UNITS] == "empty"
     docs.unpersist()
+
+
+def test_added_at_in_store(spark, corpus, tmp_path_factory):
+    """Written stores carry the ingest timestamp (C10,
+    functs_with_elastic.go:311) so 'docs added since X' is expressible
+    against a built store (admin.py `since`)."""
+    from ucuddle_search_engine_spark.plans.build_index import build_index_resumable
+
+    out = str(tmp_path_factory.mktemp("idx_ts"))
+    build_index_resumable(
+        spark, corpus, out, n_units=2,
+        ingest_ts=F.timestamp_seconds(F.lit(1704067200)),  # 2024-01-01T00:00:00Z
+    )
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    assert "added_at" in docs.columns
+    total = docs.count()
+    assert docs.filter(F.col("added_at") >= F.lit("2024-01-01 00:00:00").cast("timestamp")).count() == total
+    assert docs.filter(F.col("added_at") >= F.lit("2024-01-02 00:00:00").cast("timestamp")).count() == 0
+
+
+def test_search_local_matches_spark_path(spark, corpus, tmp_path_factory):
+    """The driver-side serving path (pyarrow read, no Spark job) must return
+    exactly the distributed ranking — same scorers, same store, including
+    tombstone filtering and pagination."""
+    from ucuddle_search_engine_spark.plans.build_index import build_index_resumable, load_searcher
+
+    out = str(tmp_path_factory.mktemp("idx_local"))
+    build_index_resumable(spark, corpus, out, n_units=N_UNITS)
+    s = load_searcher(spark, out).prepare()
+
+    cases = [(["t0", "t1"], "or"), (["t0", "t1"], "and"), (["module", "t3"], "or"),
+             (["t5", "zzznope"], "or"), (["t5", "zzznope"], "and"), (["t40"], "or")]
+    for terms, mode in cases:
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in s.search_terms(terms, k=10, mode=mode).collect()]
+        got = [(d, round(sc, 9)) for d, sc in s.search_local(terms, k=10, mode=mode)]
+        assert got == want, (terms, mode)
+
+    # pagination parity
+    full = [(d, round(sc, 9)) for d, sc in s.search_local(["t0", "t1"], k=20, mode="or")]
+    p2 = [(d, round(sc, 9)) for d, sc in s.search_local(["t0", "t1"], k=10, mode="or", offset=10)]
+    assert full[10:] == p2
+
+    # tombstones are honored locally too
+    dead = [d for d, _ in s.search_local(["t0"], k=2, mode="or")]
+    spark.createDataFrame([(i,) for i in dead], "doc_id long").write.mode("append").parquet(
+        os.path.join(out, "tombstones")
+    )
+    s2 = load_searcher(spark, out).prepare()
+    got = [d for d, _ in s2.search_local(["t0"], k=10, mode="or")]
+    assert not set(dead) & set(got)
+    want = [r["doc_id"] for r in s2.search_terms(["t0"], k=10, mode="or").collect()]
+    assert got == want
+
+
+def test_serve_http_tier(spark, corpus, tmp_path_factory):
+    """The stdlib-HTTP serving tier (scripts/serve.py) answers /search with
+    the exact distributed-path ranking plus doc metadata, with no Spark job
+    on the hot path (SegmentSearcher.open_local never touches a session)."""
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    sys_path_added = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    import sys
+    sys.path.insert(0, sys_path_added)
+    try:
+        from serve import SearchApp, make_handler
+    finally:
+        sys.path.remove(sys_path_added)
+    from ucuddle_search_engine_spark.plans.build_index import build_index_resumable, load_searcher
+
+    out = str(tmp_path_factory.mktemp("idx_serve"))
+    build_index_resumable(spark, corpus, out, n_units=2)
+    app = SearchApp(out)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(app))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert _json.load(r)["docs"] == N_DOCS
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/search?q=t0+t1&k=5&mode=or") as r:
+            hits = _json.load(r)
+        want = [(row["doc_id"], round(row["score"], 6)) for row in
+                load_searcher(spark, out).search_terms(["t0", "t1"], k=5, mode="or").collect()]
+        assert [(h["doc_id"], h["score"]) for h in hits] == want
+        assert all(h["title"] and h["repo"] for h in hits)
+        assert hits[0]["title"][0] == hits[0]["title"][0].upper()  # C6
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/search?q=ab") as r:
+            assert _json.load(r) == []  # length guard
+    finally:
+        srv.shutdown()

@@ -47,3 +47,38 @@ def test_delta_monotone():
     gaps = delta_encode(ids)
     assert list(gaps) == [3, 4, 1, 92, 900]
     assert list(delta_decode(gaps)) == list(ids)
+
+
+def test_concat_decode_matches_per_block():
+    """vb_decode_concat / decode_doc_ids_concat over many blocks must equal
+    the per-block decoders exactly — including per-block delta RESTART for
+    doc ids and empty blocks mixed in."""
+    import numpy as np
+
+    from ucuddle_search_engine_spark.functions.varbyte import (
+        decode_doc_ids,
+        decode_doc_ids_concat,
+        encode_doc_ids,
+        vb_decode,
+        vb_decode_concat,
+        vb_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    blocks, dblocks = [], []
+    for i in range(200):
+        n = int(rng.randint(0, 40))
+        vals = rng.randint(0, 2**50, size=n).astype(np.uint64)
+        blocks.append(vb_encode(vals))
+        docs = np.unique(rng.randint(0, 2**40, size=n).astype(np.uint64))
+        dblocks.append(encode_doc_ids(docs))
+
+    got, counts = vb_decode_concat(blocks)
+    want = [vb_decode(b) for b in blocks]
+    assert list(counts) == [len(w) for w in want]
+    assert np.array_equal(got, np.concatenate(want) if want else got)
+
+    gd, dcounts = decode_doc_ids_concat(dblocks)
+    wantd = [decode_doc_ids(b) for b in dblocks]
+    assert list(dcounts) == [len(w) for w in wantd]
+    assert np.array_equal(gd, np.concatenate(wantd))

@@ -70,6 +70,29 @@ def main() -> None:
     out["q_p95_ms"] = round(lats[int(len(lats) * 0.95) - 1] * 1000, 1)
     out["n_queries"] = len(lats) + 1
 
+    # serving-tier path: same ranking, no Spark job (pyarrow read + numpy
+    # scorers driver-side) — parity vs the distributed path is asserted here
+    # on every query, latency reported separately
+    llats = []
+    lcold = None
+    for rep in range(3):
+        for terms, mode in QUERIES:
+            t0 = time.time()
+            got = searcher.search_local(terms, k=10, mode=mode)
+            dt = time.time() - t0
+            if lcold is None:
+                lcold = dt
+            else:
+                llats.append(dt)
+            if rep == 0:
+                want = [(r["doc_id"], round(r["score"], 9)) for r in
+                        searcher.search_terms(terms, k=10, mode=mode).collect()]
+                assert [(d, round(s, 9)) for d, s in got] == want, (terms, mode)
+    llats.sort()
+    out["serve_cold_ms"] = round(lcold * 1000, 1)
+    out["serve_p50_ms"] = round(llats[len(llats) // 2] * 1000, 1)
+    out["serve_p95_ms"] = round(llats[int(len(llats) * 0.95) - 1] * 1000, 1)
+
     with open("/root/repo/BENCH/million.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))

@@ -71,6 +71,46 @@ def vb_decode(data: bytes) -> np.ndarray:
     return out
 
 
+def vb_decode_concat(buffers) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY varbyte streams in one vectorized pass (each stream holds
+    whole values, so concatenation parses identically). Returns (values,
+    per-stream value counts) — the per-block Python-call loop this replaces
+    dominated serving-path latency at 10⁴+ blocks per query."""
+    if len(buffers) == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(b) for b in buffers), dtype=np.int64, count=len(buffers))
+    buf = np.frombuffer(b"".join(bytes(b) for b in buffers), dtype=np.uint8)
+    if buf.size == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(len(buffers), dtype=np.int64)
+    ends = np.flatnonzero(buf & 0x80)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    out = np.zeros(ends.size, dtype=np.uint64)
+    lengths = ends - starts + 1
+    for k in range(int(lengths.max())):
+        sel = lengths > k
+        b = buf[starts[sel] + k].astype(np.uint64) & np.uint64(0x7F)
+        out[sel] |= b << np.uint64(7 * k)
+    # values per stream: count of terminator bytes inside each byte range
+    byte_bounds = np.cumsum(lens)
+    counts = np.diff(np.concatenate(([0], np.searchsorted(ends, byte_bounds - 1, side="right"))))
+    return out, counts
+
+
+def decode_doc_ids_concat(buffers) -> tuple[np.ndarray, np.ndarray]:
+    """Batched decode_doc_ids: one varbyte pass over all blocks, then the
+    per-block delta restart applied vectorized (global cumsum minus each
+    block's preceding cumulative value)."""
+    gaps, counts = vb_decode_concat(buffers)
+    if gaps.size == 0:
+        return gaps, counts
+    csum = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    base = np.zeros(len(counts), dtype=np.uint64)
+    nz = starts > 0
+    base[nz] = csum[starts[nz] - 1]
+    return csum - np.repeat(base, counts), counts
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """First value + successive gaps (input must be strictly increasing)."""
     a = np.asarray(sorted_ids, dtype=np.uint64)

@@ -37,7 +37,7 @@ _ID_MODES = {
 
 
 def build_docs(corpus: DataFrame, num_shards: int = 3, scale_ids: bool | str = False,
-               analyzer=None) -> DataFrame:
+               analyzer=None, ingest_ts=None) -> DataFrame:
     """Corpus (repo, path, commit, lang, content) → docs table.
 
     - doc_id: deterministic dense rank over (repo, path) — replaces the
@@ -49,6 +49,11 @@ def build_docs(corpus: DataFrame, num_shards: int = 3, scale_ids: bool | str = F
     - shard: pmod(doc_id, num_shards) — the ES number_of_shards model
       (crawler/functs_with_elastic.go:75). Queries fan out per shard and merge
       top-k, exactly ES scatter-gather.
+    - added_at: ingest timestamp (C10, crawler/functs_with_elastic.go:311
+      stamps added_at_time on every doc) — time-windowed re-index / delete
+      ("docs added since X") filters on it against a built store. Defaults to
+      the batch's wall clock; pass ingest_ts (a Column) for deterministic
+      stamping in tests/oracles.
     """
     if isinstance(scale_ids, str):
         assign = _ID_MODES[scale_ids]
@@ -70,6 +75,7 @@ def build_docs(corpus: DataFrame, num_shards: int = 3, scale_ids: bool | str = F
         sha256_col("content").alias("content_sha256"),
         F.size(toks).cast("long").alias("doclen"),
         F.pmod(F.col("doc_id"), F.lit(num_shards)).cast("int").alias("shard"),
+        (ingest_ts if ingest_ts is not None else F.current_timestamp()).alias("added_at"),
     )
 
 

@@ -170,8 +170,10 @@ def read_segments(spark, path: str) -> DataFrame:
 def decode_segment_rows(rows: pd.DataFrame) -> pd.DataFrame:
     """Inverse of build_segments for one (shard, term, field): block rows →
     (doc_id, tf, doclen) posting frame. Used by WAND and round-trip tests."""
+    from ..functions.varbyte import decode_doc_ids_concat, vb_decode_concat
+
     rows = rows.sort_values("block_no")
-    docs = np.concatenate([decode_doc_ids(b) for b in rows["doc_bytes"]])
-    tfs = np.concatenate([vb_decode(b) for b in rows["tf_bytes"]])
-    dls = np.concatenate([vb_decode(b) for b in rows["dl_bytes"]])
+    docs = decode_doc_ids_concat(list(rows["doc_bytes"]))[0]
+    tfs = vb_decode_concat(list(rows["tf_bytes"]))[0]
+    dls = vb_decode_concat(list(rows["dl_bytes"]))[0]
     return pd.DataFrame({"doc_id": docs.astype(np.int64), "tf": tfs.astype(np.int64), "doclen": dls.astype(np.int64)})

@@ -17,15 +17,16 @@ traffic is |q| idf rows + S·k candidate rows.
 
 from __future__ import annotations
 
+import json
 import math
-
+import os
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.varbyte import decode_doc_ids, vb_decode
+from ..functions.varbyte import decode_doc_ids_concat, vb_decode_concat
 from .bm25 import B, K1, DEFAULT_BOOSTS
 
 INF = np.iinfo(np.int64).max
@@ -46,9 +47,11 @@ class _PList:
     def __init__(self, blocks: pd.DataFrame, weight_idf: float, avgdl: float,
                  dead: np.ndarray | None = None):
         blocks = blocks.sort_values("block_no")
-        self.docs = np.concatenate([decode_doc_ids(b) for b in blocks["doc_bytes"]]).astype(np.int64)
-        self.tfs = np.concatenate([vb_decode(b) for b in blocks["tf_bytes"]]).astype(np.int64)
-        self.dls = np.concatenate([vb_decode(b) for b in blocks["dl_bytes"]]).astype(np.int64)
+        # one vectorized decode pass over ALL the chain's blocks (a Python
+        # decode call per block dominated latency at 10⁴+ blocks per query)
+        self.docs = decode_doc_ids_concat(list(blocks["doc_bytes"]))[0].astype(np.int64)
+        self.tfs = vb_decode_concat(list(blocks["tf_bytes"]))[0].astype(np.int64)
+        self.dls = vb_decode_concat(list(blocks["dl_bytes"]))[0].astype(np.int64)
         self.weight_idf = weight_idf
         self.avgdl = avgdl
         ns = blocks["n"].to_numpy(np.int64)
@@ -175,7 +178,7 @@ class _BlockList:
     block. Feeds the vectorized block-max scorer."""
 
     __slots__ = ("ubs", "min_docs", "max_docs", "ns", "weight_idf", "avgdl",
-                 "doc_bytes", "tf_bytes", "dl_bytes", "_range_exact")
+                 "doc_bytes", "tf_bytes", "dl_bytes", "_range_exact", "_sparse")
 
     def __init__(self, blocks: pd.DataFrame, weight_idf: float, avgdl: float):
         blocks = blocks.sort_values("block_no")  # doc-ordered, disjoint ranges
@@ -188,6 +191,7 @@ class _BlockList:
         self.doc_bytes = list(blocks["doc_bytes"])
         self.tf_bytes = list(blocks["tf_bytes"])
         self.dl_bytes = list(blocks["dl_bytes"])
+        self._sparse = None  # lazy range-max sparse table (range_max_ub_vec)
         # Defensive (mirrors _PList): block_no order must be doc order with
         # DISJOINT ranges or range_max_ub's searchsorted silently
         # underestimates bounds and block-max pruning drops true top-k docs
@@ -219,13 +223,47 @@ class _BlockList:
         i1 = int(np.searchsorted(self.min_docs, hi, side="right"))
         return float(self.ubs[i0:i1].max()) if i0 < i1 else 0.0
 
+    def range_max_ub_vec(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        """Vectorized range_max_ub over ARRAYS of [lo, hi] ranges — one
+        sparse-table (O(n log n) build, O(1)/query range-max) pass instead of
+        a Python call per block, which dominated the block-max prune loop."""
+        n = len(self.ubs)
+        if n == 0 or not self._range_exact:
+            m = float(self.ubs.max()) if n else 0.0
+            return np.full(len(lo), m, dtype=np.float64)
+        if self._sparse is None:
+            tabs = [self.ubs]
+            j = 1
+            while (1 << j) <= n:
+                prev = tabs[-1]
+                half = 1 << (j - 1)
+                tabs.append(np.maximum(prev[: len(prev) - half], prev[half:]))
+                j += 1
+            self._sparse = tabs
+        i0 = np.searchsorted(self.max_docs, lo, side="left")
+        i1 = np.searchsorted(self.min_docs, hi, side="right")
+        out = np.zeros(len(lo), dtype=np.float64)
+        valid = i0 < i1
+        if not valid.any():
+            return out
+        v0, v1 = i0[valid], i1[valid]
+        lev = np.frexp((v1 - v0).astype(np.float64))[1] - 1  # floor(log2)
+        res = np.empty(len(v0), dtype=np.float64)
+        for L in np.unique(lev):
+            m = lev == L
+            tab = self._sparse[L]
+            sz = 1 << int(L)
+            res[m] = np.maximum(tab[v0[m]], tab[v1[m] - sz])
+        out[valid] = res
+        return out
+
     def decode(self, idxs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Selected blocks → (doc_ids, exact BM25 contributions)."""
         if len(idxs) == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        docs = np.concatenate([decode_doc_ids(self.doc_bytes[i]) for i in idxs]).astype(np.int64)
-        tfs = np.concatenate([vb_decode(self.tf_bytes[i]) for i in idxs]).astype(np.float64)
-        dls = np.concatenate([vb_decode(self.dl_bytes[i]) for i in idxs]).astype(np.float64)
+        docs = decode_doc_ids_concat([self.doc_bytes[i] for i in idxs])[0].astype(np.int64)
+        tfs = vb_decode_concat([self.tf_bytes[i] for i in idxs])[0].astype(np.float64)
+        dls = vb_decode_concat([self.dl_bytes[i] for i in idxs])[0].astype(np.float64)
         contrib = self.weight_idf * tfs / (tfs + K1 * (1 - B + B * dls / self.avgdl))
         return docs, contrib
 
@@ -294,19 +332,20 @@ def _blockmax_or_numpy(lists: list[_BlockList], k: int,
             rest = bidx[(owner == li) & ~seed_mask]
             if not len(rest):
                 continue
-            keep = []
-            for j in rest:
-                bound = L.ubs[j]
-                if bound < theta:  # alone it can't reach θ — add overlap help
-                    lo, hi = int(L.min_docs[j]), int(L.max_docs[j])
-                    for lj, O in enumerate(lists):
-                        if lj != li:
-                            bound += O.range_max_ub(lo, hi)
-                            if bound >= theta:
-                                break
-                if bound >= theta:
-                    keep.append(j)
-            d, c = L.decode(np.asarray(keep, dtype=np.int64))
+            # vectorized bound: ub_b + Σ_{O≠L} range-max of O over b's doc
+            # range (sparse-table range-max, no per-block Python loop)
+            bound = L.ubs[rest].copy()
+            need = bound < theta  # alone it can't reach θ — add overlap help
+            if need.any():
+                lo = L.min_docs[rest][need]
+                hi = L.max_docs[rest][need]
+                add = np.zeros(int(need.sum()), dtype=np.float64)
+                for lj, O in enumerate(lists):
+                    if lj != li:
+                        add += O.range_max_ub_vec(lo, hi)
+                bound[need] += add
+            keep = rest[bound >= theta]
+            d, c = L.decode(np.sort(keep))
             docs_parts.append(d)
             contrib_parts.append(c)
     else:
@@ -369,9 +408,9 @@ def _intersect_and_blocks(blists_by_term: dict[str, list[_BlockList]], k: int,
                 docs = np.empty(0, np.int64)
                 tfs = dls = np.empty(0, np.int64)
             else:
-                docs = np.concatenate([decode_doc_ids(L.doc_bytes[i]) for i in idxs]).astype(np.int64)
-                tfs = np.concatenate([vb_decode(L.tf_bytes[i]) for i in idxs]).astype(np.int64)
-                dls = np.concatenate([vb_decode(L.dl_bytes[i]) for i in idxs]).astype(np.int64)
+                docs = decode_doc_ids_concat([L.doc_bytes[i] for i in idxs])[0].astype(np.int64)
+                tfs = vb_decode_concat([L.tf_bytes[i] for i in idxs])[0].astype(np.int64)
+                dls = vb_decode_concat([L.dl_bytes[i] for i in idxs])[0].astype(np.int64)
                 if dead is not None and len(dead) and len(docs):
                     alive = ~np.isin(docs, dead)
                     docs, tfs, dls = docs[alive], tfs[alive], dls[alive]
@@ -443,12 +482,56 @@ def _intersect_and(lists_by_term: dict[str, list[_PList]], k: int,
     return [(int(common[i]), float(scores[i])) for i in order]
 
 
+def _score_shard_rows(pdf: pd.DataFrame, widf: dict, avgdl: dict, mode: str, k: int,
+                      nterms: int, algorithm: str, dead, round_dp, wand_min: int) -> list:
+    """Block rows of ONE shard → top-k [(doc_id, score)]. Shared verbatim by
+    the distributed path (applyInPandas closure) and the driver-side serving
+    path (SegmentSearcher.search_local) so both return identical rankings."""
+    if len(pdf) == 0:
+        return []
+    # Stores written unit-by-unit (plans/build_index.py) reuse block_no
+    # ranges across units with overlapping doc ranges; each unit's chain IS
+    # doc-sorted, so build one list per (term, field, unit) — WAND/intersect/
+    # exact all handle multiple lists per term.
+    gcols = ["term", "field", "unit"] if "unit" in pdf.columns else ["term", "field"]
+    groups = []
+    total = 0
+    for gkey, g in pdf.groupby(gcols, sort=False):
+        t, f = gkey[0], gkey[1]
+        key = (t, int(f))
+        if key not in widf:
+            continue
+        groups.append((t, key, g))
+        total += int(g["n"].sum())
+    if mode == "and":
+        # block-interval pruning: skip decoding blocks that overlap no block
+        # range of some other query term
+        blists_by_term: dict[str, list[_BlockList]] = {}
+        for t, key, g in groups:
+            L = _BlockList(g, widf[key], avgdl[key])
+            blists_by_term.setdefault(t, []).append(L)
+        if len(blists_by_term) < nterms:
+            return []
+        return _intersect_and_blocks(blists_by_term, k, dead=dead, round_dp=round_dp)
+    if round_dp is None and (algorithm == "wand" or (algorithm == "auto" and total >= wand_min)):
+        # vectorized block-max scorer: decodes only blocks whose interval
+        # bound can beat θ (numpy-blocked, no per-posting loop)
+        blists = [_BlockList(g, widf[key], avgdl[key]) for _, key, g in groups]
+        return _blockmax_or_numpy(blists, k, dead=dead)
+    if algorithm == "wand_loop":
+        flat = [_PList(g, widf[key], avgdl[key], dead=dead) for _, key, g in groups]
+        return _wand_or(flat, k)
+    flat = [_PList(g, widf[key], avgdl[key], dead=dead) for _, key, g in groups]
+    return _exact_or_numpy(flat, k, round_dp=round_dp)
+
+
 class SegmentSearcher:
     """Query engine over a (written or in-memory) segment store."""
 
     def __init__(self, segments: DataFrame, tstats: DataFrame, cstats: DataFrame,
                  boosts: dict[int, float] | None = None,
-                 tombstones: list[int] | None = None):
+                 tombstones: list[int] | None = None,
+                 store_dir: str | None = None):
         self.segments = segments
         self.tstats = tstats
         self.cstats = cstats
@@ -456,6 +539,9 @@ class SegmentSearcher:
         # deleted doc ids (soft-delete until next rebuild, like ES/Lucene
         # per-segment delete bitmaps — kept driver-side, |deletes| << corpus)
         self.tombstones = sorted(set(tombstones)) if tombstones else []
+        # physical store path (written stores) — enables the no-Spark-job
+        # serving path (search_local)
+        self.store_dir = store_dir
         self._coll: dict | None = None
         self._tstats_cache: dict | None = None
         # per-term memo for the no-prepare() path: repeat queries never
@@ -556,47 +642,115 @@ class SegmentSearcher:
             buckets = sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in terms})
             matched = matched.filter(F.col("tb").isin(buckets))
 
+        wand_min = SegmentSearcher.WAND_MIN_POSTINGS
+
         def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(pdf) == 0:
-                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
             dead = b_dead.value if b_dead is not None else None
-            # Stores written unit-by-unit (plans/build_index.py) reuse block_no
-            # ranges across units with overlapping doc ranges; each unit's
-            # chain IS doc-sorted, so build one list per (term, field, unit)
-            # — WAND/intersect/exact all handle multiple lists per term.
-            gcols = ["term", "field", "unit"] if "unit" in pdf.columns else ["term", "field"]
-            groups = []
-            total = 0
-            for gkey, g in pdf.groupby(gcols, sort=False):
-                t, f = gkey[0], gkey[1]
-                key = (t, int(f))
-                if key not in b_widf.value:
-                    continue
-                groups.append((t, key, g))
-                total += int(g["n"].sum())
-            if mode == "and":
-                # block-interval pruning: skip decoding blocks that overlap no
-                # block range of some other query term
-                blists_by_term: dict[str, list[_BlockList]] = {}
-                for t, key, g in groups:
-                    L = _BlockList(g, b_widf.value[key], b_avgdl.value[key])
-                    blists_by_term.setdefault(t, []).append(L)
-                if len(blists_by_term) < nterms:
-                    top = []
-                else:
-                    top = _intersect_and_blocks(blists_by_term, k, dead=dead, round_dp=round_dp)
-            elif round_dp is None and (algorithm == "wand" or (algorithm == "auto" and total >= SegmentSearcher.WAND_MIN_POSTINGS)):
-                # vectorized block-max scorer: decodes only blocks whose
-                # interval bound can beat θ (numpy-blocked, no per-posting loop)
-                blists = [_BlockList(g, b_widf.value[key], b_avgdl.value[key]) for _, key, g in groups]
-                top = _blockmax_or_numpy(blists, k, dead=dead)
-            elif algorithm == "wand_loop":
-                flat = [_PList(g, b_widf.value[key], b_avgdl.value[key], dead=dead) for _, key, g in groups]
-                top = _wand_or(flat, k)
-            else:
-                flat = [_PList(g, b_widf.value[key], b_avgdl.value[key], dead=dead) for _, key, g in groups]
-                top = _exact_or_numpy(flat, k, round_dp=round_dp)
-            return pd.DataFrame(top, columns=["doc_id", "score"]).astype({"doc_id": "int64", "score": "float64"})
+            top = _score_shard_rows(pdf, b_widf.value, b_avgdl.value, mode, k,
+                                    nterms, algorithm, dead, round_dp, wand_min)
+            return pd.DataFrame(top, columns=["doc_id", "score"]).astype(
+                {"doc_id": "int64", "score": "float64"})
 
         per_shard = matched.groupBy("shard").applyInPandas(run_shard, schema="doc_id long, score double")
         return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    # -- driver-side serving path (no Spark job) ------------------------------
+
+    @classmethod
+    def open_local(cls, store_dir: str, boosts: dict[int, float] | None = None) -> "SegmentSearcher":
+        """Open a written store WITHOUT a SparkSession — the serving-tier
+        constructor (scripts/serve.py): term stats + collection stats +
+        tombstones load via pyarrow/json, queries run through search_local
+        only. Startup is file reads, not a JVM."""
+        import pyarrow.dataset as pds
+
+        obj = cls.__new__(cls)
+        obj.segments = None
+        obj.tstats = None
+        obj.cstats = None
+        obj.boosts = boosts if boosts is not None else dict(DEFAULT_BOOSTS)
+        obj.store_dir = store_dir
+        tt = pds.dataset(os.path.join(store_dir, "tstats")).to_table()
+        obj._tstats_cache = {
+            (t, int(f)): d
+            for t, f, d in zip(tt["term"].to_pylist(), tt["field"].to_pylist(),
+                               tt["df"].to_pylist())
+        }
+        with open(os.path.join(store_dir, "cstats.json")) as fh:
+            obj._coll = {r["field"]: (r["n_docs"], r["avgdl"]) for r in json.load(fh)}
+        ts_path = os.path.join(store_dir, "tombstones")
+        obj.tombstones = (
+            sorted(set(pds.dataset(ts_path).to_table()["doc_id"].to_pylist()))
+            if os.path.isdir(ts_path) else []
+        )
+        obj._term_memo = {}
+        return obj
+
+    def search_local(self, terms: list[str], k: int = 20, mode: str = "and",
+                     algorithm: str = "auto", offset: int = 0,
+                     round_dp: int | None = None) -> list[tuple[int, float]]:
+        """The serving-tier read path: identical ranking to search_terms, but
+        executed entirely driver-side — a pyarrow dataset read of the
+        directory-pruned store (tb partition filter + term row-group
+        predicate) feeding the same per-shard numpy scorers. No Spark job, so
+        latency is file-read + decode (ms), not job scheduling (~1 s floor).
+
+        This is how the 1000-executor picture serves queries too: the INDEX
+        is built by Spark; point reads hit the layout directly (the reference
+        serves from ES while ingest writes to it, web/app.py:26-43). Requires
+        a written store (store_dir set — load_searcher does)."""
+        if self.store_dir is None:
+            raise ValueError("search_local needs a written store (store_dir)")
+        import pyarrow.dataset as pds
+
+        terms = sorted(set(terms))
+        fields = sorted(self.boosts)
+        if self._tstats_cache is not None:
+            stats = {
+                (t, f): self._tstats_cache[(t, f)]
+                for t in terms for f in fields if (t, f) in self._tstats_cache
+            }
+        else:
+            tt = pds.dataset(os.path.join(self.store_dir, "tstats")).to_table(
+                filter=pds.field("term").isin(terms) & pds.field("field").isin(fields)
+            )
+            stats = {
+                (t, int(f)): df_
+                for t, f, df_ in zip(tt["term"].to_pylist(), tt["field"].to_pylist(),
+                                     tt["df"].to_pylist())
+            }
+        if self._coll is None:
+            with open(os.path.join(self.store_dir, "cstats.json")) as fh:
+                self._coll = {r["field"]: (r["n_docs"], r["avgdl"]) for r in json.load(fh)}
+        coll = self._coll
+        if mode == "and" and set(terms) - {t for (t, f) in stats}:
+            return []
+        widf, avgdl = {}, {}
+        for (t, f), df_ in stats.items():
+            n = float(coll[f][0])
+            widf[(t, f)] = self.boosts[f] * math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+            avgdl[(t, f)] = float(coll[f][1])
+
+        from ..functions.hashing import md5_prefix_long_py
+        from ..plans.build_index import TERM_BUCKETS
+
+        buckets = sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in terms})
+        flt = pds.field("term").isin(terms) & pds.field("field").isin(fields)
+        segs_dir = os.path.join(self.store_dir, "segments")
+        data = pds.dataset(segs_dir, partitioning="hive")
+        if "tb" in data.schema.names:
+            flt = flt & pds.field("tb").isin(buckets)
+        pdf = data.to_table(filter=flt).to_pandas()
+
+        dead = np.asarray(self.tombstones, dtype=np.int64) if self.tombstones else None
+        nterms = len(terms)
+        tops: list[tuple[int, float]] = []
+        if len(pdf):
+            for _, g in pdf.groupby("shard", sort=False):
+                tops.extend(
+                    _score_shard_rows(g, widf, avgdl, mode, offset + k, nterms,
+                                      algorithm, dead, round_dp,
+                                      SegmentSearcher.WAND_MIN_POSTINGS)
+                )
+        tops.sort(key=lambda x: (-x[1], x[0]))
+        return tops[offset:offset + k]

@@ -138,6 +138,7 @@ def build_index_resumable(
     write_postings: bool = False,
     scale_ids: bool | str = "prefix",
     analyzer=None,
+    ingest_ts=None,
 ) -> dict:
     """Build docs + segments + stats under out_dir, unit by unit, resumably.
 
@@ -151,7 +152,8 @@ def build_index_resumable(
     manifest = BuildManifest(os.path.join(out_dir, "manifest.jsonl"))
 
     # pass 0: global deterministic ids + collection stats
-    docs = build_docs(corpus, num_shards=num_shards, scale_ids=scale_ids, analyzer=analyzer).withColumn(
+    docs = build_docs(corpus, num_shards=num_shards, scale_ids=scale_ids, analyzer=analyzer,
+                      ingest_ts=ingest_ts).withColumn(
         "_unit", _unit_col(n_units)
     ).persist()
     cstats = _global_field_stats(docs, analyzer=analyzer).persist()
@@ -357,4 +359,5 @@ def load_searcher(spark: SparkSession, out_dir: str, boosts: dict[int, float] | 
     ts_path = os.path.join(out_dir, "tombstones")
     if os.path.isdir(ts_path):
         tombstones = [r["doc_id"] for r in spark.read.parquet(ts_path).select("doc_id").collect()]
-    return SegmentSearcher(segments, tstats, cstats, boosts=boosts, tombstones=tombstones)
+    return SegmentSearcher(segments, tstats, cstats, boosts=boosts, tombstones=tombstones,
+                           store_dir=out_dir)

@@ -40,24 +40,23 @@ def decode_store_postings(segments: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from ..functions.varbyte import decode_doc_ids, vb_decode
+    from ..functions.varbyte import decode_doc_ids_concat, vb_decode_concat
 
     def run(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            docs = [decode_doc_ids(b) for b in pdf["doc_bytes"]]
-            tfs = [vb_decode(b) for b in pdf["tf_bytes"]]
-            dls = [vb_decode(b) for b in pdf["dl_bytes"]]
-            ns = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(pdf))
+            docs, ns = decode_doc_ids_concat(list(pdf["doc_bytes"]))
+            tfs, _ = vb_decode_concat(list(pdf["tf_bytes"]))
+            dls, _ = vb_decode_concat(list(pdf["dl_bytes"]))
             rep = np.repeat(np.arange(len(pdf)), ns)
             yield pd.DataFrame(
                 {
                     "term": pdf["term"].to_numpy(object)[rep],
                     "field": pdf["field"].to_numpy(np.int32)[rep],
-                    "doc_id": np.concatenate(docs).astype(np.int64) if len(rep) else np.array([], np.int64),
-                    "tf": np.concatenate(tfs).astype(np.int64) if len(rep) else np.array([], np.int64),
-                    "doclen": np.concatenate(dls).astype(np.int64) if len(rep) else np.array([], np.int64),
+                    "doc_id": docs.astype(np.int64),
+                    "tf": tfs.astype(np.int64),
+                    "doclen": dls.astype(np.int64),
                 }
             )
 
