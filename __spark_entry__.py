@@ -343,6 +343,77 @@ def q_simhash_fingerprints(spark, sf_dir):
     return simhash(load_table(spark, sf_dir, "documents"))
 
 
+# deterministic near-dup corpus for the SimHash PAIR path: every 10th doc is
+# re-added with its tail truncated — tf barely changes, so the fingerprints
+# land within a small hamming radius; both sides replay the same derivation
+SIMHASH_PAIR_HAMMING = 8
+SIMHASH_DUP_MOD = 10
+SIMHASH_DUP_OFFSET = 100000
+SIMHASH_DUP_TRUNC = 40
+
+
+def q_simhash_hamming_pairs(spark, sf_dir):
+    """The SimHash SCALE path oracle-checked end-to-end: pigeonhole chunk
+    banding (9 chunks × 6 bits for radius 8) → bucket-local candidate join →
+    exact hamming verify via xor+popcount. The DuckDB oracle replays banding
+    and verification exactly."""
+    from ucuddle_search_engine_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % SIMHASH_DUP_MOD == 0).select(
+        (F.col("doc_id") + SIMHASH_DUP_OFFSET).alias("doc_id"),
+        F.expr(f"substring(text, 1, greatest(length(text) - {SIMHASH_DUP_TRUNC}, 1))").alias("text"),
+    )
+    src = docs.unionByName(dups)
+    pairs = simhash_neardup_pairs(src, max_hamming=SIMHASH_PAIR_HAMMING)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_pairs_sql() -> str:
+    n_chunks = SIMHASH_PAIR_HAMMING + 1
+    chunk_bits = 60 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    return f"""
+        WITH src AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {SIMHASH_DUP_OFFSET},
+                 substring(text, 1, greatest(length(text) - {SIMHASH_DUP_TRUNC}, 1))
+          FROM documents WHERE doc_id % {SIMHASH_DUP_MOD} = 0
+        ),
+        toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term FROM src),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        h AS (
+          SELECT doc_id, tf, CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS h FROM tf
+        ),
+        votes AS (
+          SELECT doc_id, b.bit,
+                 sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS v
+          FROM h CROSS JOIN (SELECT range AS bit FROM range(60)) b
+          GROUP BY doc_id, b.bit
+        ),
+        sim AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END)
+                      AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id
+        ),
+        keyed AS (
+          SELECT doc_id, simhash, c.chunk,
+                 (simhash >> (c.chunk * {chunk_bits})) & {mask} AS cval
+          FROM sim CROSS JOIN (SELECT range AS chunk FROM range({n_chunks})) c
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM keyed a
+          JOIN keyed b ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_PAIR_HAMMING}
+    """
+
+
 EMB_NEARDUP_THRESHOLD = 0.35  # synthetic embeddings top out at cos≈0.51; this keeps the result non-trivial
 
 
@@ -1110,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1262,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
         """,
+        "simhash_hamming_pairs": _simhash_pairs_sql(),
         "embedding_neardup_pairs": """
             WITH n AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
