@@ -770,6 +770,126 @@ def q_docs_added_since(spark, sf_dir):
     )
 
 
+# ---- training-corpus preparation ops (operators/corpus) -------------------
+
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 1.0, "zh": 0.25}
+PACK_BUDGET = 2000
+PACK_BUCKET = 100
+DECONTAM_N = 8
+DECONTAM_MOD = 97
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-mod stratified sampling — the training-mix
+    balancer (en@50%, de@100%, zh@25%; other strata dropped)."""
+    from ucuddle_search_engine_spark.operators.corpus import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, SAMPLE_FRACTIONS).select("doc_id", "lang")
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality score: mean ln(corpus unigram prob) per doc."""
+    from ucuddle_search_engine_spark.operators.corpus import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_pack(spark, sf_dir):
+    """Sequence packing: concat-in-id-order → chunk into 2000-token packs
+    (two-phase distributed prefix sum, never a global window)."""
+    from ucuddle_search_engine_spark.operators.corpus import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(docs, budget=PACK_BUDGET, bucket_size=PACK_BUCKET)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing an 8-gram with a benchmark set
+    (derived deterministically: 13 tokens from every 97th doc) are flagged
+    with their shared-shingle count."""
+    from ucuddle_search_engine_spark.operators.corpus import ngram_overlap_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
+    bench = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0).select(
+        F.concat_ws(" ", F.slice(toks, 11, 13)).alias("text")
+    )
+    return ngram_overlap_flags(docs, bench, n=DECONTAM_N)
+
+
+def _stratified_sample_sql() -> str:
+    from ucuddle_search_engine_spark.operators.corpus import SAMPLE_MOD
+
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {int(f * SAMPLE_MOD)}"
+        for s, f in sorted(SAMPLE_FRACTIONS.items())
+    )
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {SAMPLE_MOD}) < CASE {cases} ELSE 0 END
+    """
+
+
+_UNIGRAM_LOGPROB_SQL = f"""
+    WITH toks AS ({TOKS_SQL}),
+    uni AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM toks)
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(round(avg(ln(n / n_total)), 6) AS DOUBLE) AS avg_logprob
+    FROM toks JOIN uni USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+
+def _token_pack_sql() -> str:
+    from ucuddle_search_engine_spark.functions.textstats import BPE_PATTERN
+
+    bpe = BPE_PATTERN.replace("'", "''")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+          FROM t
+        )
+        SELECT doc_id, n_tokens, CAST(pre // {PACK_BUDGET} AS BIGINT) AS pack_id FROM c
+    """
+
+
+_DECONTAM_SQL = f"""
+    WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t FROM documents),
+    bench AS (
+      SELECT regexp_extract_all(lower(array_to_string(t[11:23], ' ')), '{TOKEN_PATTERN}') AS t
+      FROM t0 WHERE doc_id % {DECONTAM_MOD} = 0
+    ),
+    dsh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(t) >= {DECONTAM_N}
+                    THEN list_transform(range(1, len(t) - {DECONTAM_N - 2}),
+                                        i -> array_to_string(t[i:i+{DECONTAM_N - 1}], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END) AS shingle
+      FROM t0
+    ),
+    bsh AS (
+      SELECT DISTINCT
+             unnest(CASE WHEN len(t) >= {DECONTAM_N}
+                    THEN list_transform(range(1, len(t) - {DECONTAM_N - 2}),
+                                        i -> array_to_string(t[i:i+{DECONTAM_N - 1}], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END) AS shingle
+      FROM bench
+    )
+    SELECT doc_id, count(*) AS n_shared
+    FROM dsh JOIN bsh USING (shingle)
+    GROUP BY doc_id
+"""
+
+
 SESSION_GAP_S = 1800
 
 
@@ -1195,6 +1315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_highlight": q_search_highlight,
         "sessionize_events": q_sessionize_events,
         "docs_added_since": q_docs_added_since,
+        "stratified_sample": q_stratified_sample,
+        "unigram_logprob": q_unigram_logprob,
+        "token_pack": q_token_pack,
+        "decontaminate": q_decontaminate,
         "pivot_lineitem": q_pivot_lineitem,
         "lang_routed_search": q_lang_routed_search,
         "lang_routed_search_cyrillic": q_lang_routed_search_cyrillic,
@@ -1402,6 +1526,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE {INGEST_EPOCH0} + doc_id >= {INGEST_EPOCH0 + INGEST_SINCE_S}
         """,
+        "stratified_sample": _stratified_sample_sql(),
+        "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
+        "token_pack": _token_pack_sql(),
+        "decontaminate": _DECONTAM_SQL,
         "sessionize_events": f"""
             WITH flagged AS (
               SELECT user_id, event_id, ts, value,
