@@ -118,6 +118,39 @@ def main() -> None:
         fn = entrymod.queries()[name]
         queries[name] = timed(lambda fn=fn: fn(spark, SF_DIR).collect())
 
+    # 6. serving-tier latency (search_local: pyarrow read + numpy scorers, no
+    #    Spark job) over a written store — cached across runs; reported as its
+    #    own fields, NOT added to the headline total (the headline set is
+    #    unchanged since round 1 so totals stay comparable across rounds)
+    serve_p50 = serve_p95 = None
+    try:
+        from ucuddle_search_engine_spark.operators.wand import SegmentSearcher as _SS
+        from ucuddle_search_engine_spark.plans.build_index import build_index_resumable
+
+        sf_tag = SF_DIR.rstrip("/").split("sf")[-1]
+        store = f"/root/repo/.data/bench_store_sf{sf_tag}"
+        if not os.path.exists(os.path.join(store, "cstats.json")):
+            corpus = documents.select(
+                F.concat(F.lit("bench"), (F.col("doc_id") % 8).cast("string")).alias("repo"),
+                F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+                F.md5(F.col("text")).alias("commit"),
+                F.col("lang"),
+                F.col("text").alias("content"),
+            )
+            build_index_resumable(spark, corpus, store, n_units=2, num_shards=3)
+        local = _SS.open_local(store)
+        slat = []
+        for _ in range(3):
+            for terms, mode in qset:
+                t0 = time.time()
+                local.search_local(terms, k=10, mode=mode)
+                slat.append(time.time() - t0)
+        slat.sort()
+        serve_p50 = round(slat[len(slat) // 2] * 1000, 1)
+        serve_p95 = round(slat[int(len(slat) * 0.95) - 1] * 1000, 1)
+    except Exception:
+        pass  # serving metrics are additive; never fail the suite for them
+
     total = sum(queries.values())
     print(
         json.dumps(
@@ -130,6 +163,8 @@ def main() -> None:
                 "n_docs": n_docs,
                 "index_docs_per_sec": round(index_docs_per_sec, 1),
                 "bm25_p95_ms": round(bm25_p95, 1),
+                "serve_p50_ms": serve_p50,
+                "serve_p95_ms": serve_p95,
                 "cpus": CPUS,
             }
         )

@@ -331,3 +331,19 @@ def test_serve_http_tier(spark, corpus, tmp_path_factory):
             assert _json.load(r) == []  # length guard
     finally:
         srv.shutdown()
+
+
+def test_build_with_empty_unit(spark, tmp_path_factory):
+    """Units hash by repo, so a singleton-repo corpus leaves n_units-1 units
+    EMPTY — the build must complete (zero-row units write only a marker) and
+    the store must stay fully queryable."""
+    from ucuddle_search_engine_spark.plans.build_index import build_index_resumable, load_searcher
+    from ucuddle_search_engine_spark.synth import synth_corpus
+
+    corpus = synth_corpus(spark, 80, partitions=2).withColumn("repo", F.lit("only/one"))
+    out = str(tmp_path_factory.mktemp("idx_empty_unit"))
+    stats = build_index_resumable(spark, corpus, out, n_units=3)
+    assert not stats["crashed"] and stats["n_docs"] == 80
+    s = load_searcher(spark, out)
+    assert 0 < len(s.search_terms(["t0"], k=5, mode="or").collect()) <= 5
+    assert 0 < len(s.search_local(["t0"], k=5, mode="or")) <= 5

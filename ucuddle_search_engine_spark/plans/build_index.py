@@ -228,7 +228,11 @@ def build_index_resumable(
                 "overwrite"
             ).parquet(os.path.join(out_dir, f"postings/unit={pid}"))
         n_docs = docs_u.count()
-        n_terms = spark.read.parquet(seg_path).select("term").distinct().count()
+        # an empty unit (units hash by repo — a skewed/singleton repo set can
+        # starve one) writes only a _SUCCESS marker; don't read it back
+        n_terms = (
+            spark.read.parquet(seg_path).select("term").distinct().count() if n_docs else 0
+        )
         n_bytes = sum(
             os.path.getsize(os.path.join(r, f))
             for p in (docs_path, seg_path)
