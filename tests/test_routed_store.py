@@ -62,3 +62,33 @@ def test_routed_stores_roundtrip(spark, bilingual, tmp_path_factory):
 
     # unsupported language → empty, like the reference
     assert router.search("xyzzy", lang="de", k=3).count() == 0
+
+
+def test_serve_ru_store_end_to_end(spark, bilingual, tmp_path_factory):
+    """The HTTP serving tier over a RU analyzer store: the query analyzes with
+    the STORE's stop+stem chain (analyzer.json), ranking comes from
+    search_local, and results equal the distributed path — the reference's
+    primary Cyrillic read path served without a Spark job."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        from serve import SearchApp
+    finally:
+        sys.path.pop(0)
+    from ucuddle_search_engine_spark.functions.analyze import ANALYZERS
+    from ucuddle_search_engine_spark.plans.build_index import load_searcher
+
+    out = str(tmp_path_factory.mktemp("routed_serve"))
+    build_routed_stores(spark, bilingual, out, n_units=1)
+    ru_store = os.path.join(out, "lang=ru")
+    app = SearchApp(ru_store)
+
+    q = "окна и потоков"  # stopword 'и' must drop, both nouns stem
+    hits = app.search(q, k=5, mode="or")
+    assert hits, "ru query must hit the ru store"
+    terms = ANALYZERS["ru"].analyze_py(q)
+    want = [(r["doc_id"], round(r["score"], 6)) for r in
+            load_searcher(spark, ru_store).search_terms(terms, k=5, mode="or").collect()]
+    assert [(h["doc_id"], h["score"]) for h in hits] == want
