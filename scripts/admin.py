@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--query")
     ap.add_argument("--ids")
     ap.add_argument("--ts", help="timestamp lower bound for `since` (docs added >= ts)")
+    ap.add_argument("--local", action="store_true",
+                    help="`search` only: serve-path ranked read (pyarrow + numpy, no JVM)")
     ap.add_argument("--add-column", help="name:type[:default] for `alter` (PutMapping analogue)")
     ap.add_argument("--with", dest="with_store", help="second store for `merge`")
     ap.add_argument("--out", help="output dir for `merge`")
@@ -49,6 +51,19 @@ def main() -> None:
     if args.cmd == "drop":  # deleteIndexes (elastic_CRUD.go:185-192)
         shutil.rmtree(args.index)
         print(f"dropped {args.index}")
+        return
+
+    if args.cmd == "search" and args.local:
+        # serving path: no SparkSession at all — store analyzer + pyarrow
+        # reads + the same numpy scorers (rank-identical, tested)
+        from ucuddle_search_engine_spark.operators.wand import SegmentSearcher
+        from ucuddle_search_engine_spark.plans.build_index import load_analyzer
+
+        an = load_analyzer(args.index)
+        terms = an.analyze_py(args.query) if an is not None else analyze_query(args.query)
+        s = SegmentSearcher.open_local(args.index)
+        for doc_id, score in s.search_local(terms, k=args.k, mode=args.mode):
+            print(f"{doc_id}\t{score:.6f}")
         return
 
     spark = get_spark("admin")
