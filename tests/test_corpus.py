@@ -69,3 +69,29 @@ def test_unigram_logprob_orders_garbage_last(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs).collect()}
     assert got[100] < got[0]
+
+
+def test_build_training_shards_end_to_end(spark, tmp_path_factory):
+    """The composed pipeline (gate → dedup → mix → pack → shard write) must
+    produce directory-readable packs whose membership equals the chained
+    individual operators, with no doc over budget boundaries violated
+    (each pack's token prefix stays contiguous in id order)."""
+    from ucuddle_search_engine_spark.plans.corpus_pipeline import build_training_shards
+
+    docs = _docs(spark)
+    out = str(tmp_path_factory.mktemp("shards"))
+    fractions = {"en": 1.0, "de": 1.0, "fr": 1.0, "es": 1.0, "und": 1.0}
+    stats = build_training_shards(spark, docs, out, fractions, budget=1500)
+    assert stats["n_kept"] > 0 and stats["n_packs"] >= 1
+    shards = spark.read.parquet(out + "/shards")
+    rows = sorted(
+        (r["doc_id"], r["n_tokens"], r["pack_id"]) for r in shards.collect()
+    )
+    # pack ids are the exclusive-prefix-sum chunks over the KEPT set, id order
+    acc = 0
+    for doc_id, n_tokens, pack_id in rows:
+        assert pack_id == acc // 1500, (doc_id, acc, pack_id)
+        acc += n_tokens
+    # partition layout: pack dirs on disk
+    import os as _os
+    assert any(d.startswith("pack_id=") for d in _os.listdir(out + "/shards"))
