@@ -224,3 +224,43 @@ def test_blocklist_unsorted_ranges_never_underestimate():
     assert not L2._range_exact  # interleaved ranges detected
     # conservative fallback: every range query sees the global max ub
     assert L2.range_max_ub(0, 5) == float(np.max(L2.ubs))
+
+
+def test_head_term_skew_chunking(spark):
+    """A degenerate head term present in EVERY doc (200k postings, one term)
+    must be chunked into bounded (shard, term, chunk) groups — no group ever
+    exceeds block_size*512 postings — and still round-trip + score exactly."""
+    from pyspark.sql import functions as F
+
+    from ucuddle_search_engine_spark.operators.segments import build_segments
+
+    n = 200_000
+    postings = (
+        spark.range(n)
+        .select(
+            F.lit("megaterm").alias("term"),
+            F.col("id").alias("doc_id"),
+            F.lit(0).alias("field"),
+            (F.col("id") % 3 + 1).cast("long").alias("tf"),
+            F.lit(50).cast("long").alias("doclen"),
+        )
+    )
+    cstats = spark.createDataFrame([(0, n, 50.0)], "field int, n_docs long, avgdl double")
+    segs = build_segments(postings, None, cstats, num_shards=3, block_size=128).cache()
+    pdf = segs.toPandas()
+    # bounded groups: per (shard, chunk-range of block_no) the postings count
+    # is capped; globally every block holds <= block_size postings and the
+    # whole chain reconstructs
+    assert (pdf["n"] <= 128).all()
+    assert int(pdf["n"].sum()) == n
+    per_shard_chunk = pdf.groupby(["shard", pdf["block_no"] // 512])["n"].sum()
+    assert (per_shard_chunk <= 128 * 512).all()
+    # ranking still exact: every doc has the same doclen, tf in {1,2,3} —
+    # top-k must be the tf=3 docs with lowest ids
+    from ucuddle_search_engine_spark.operators.wand import SegmentSearcher
+
+    tstats = segs.groupBy("term", "field").agg(F.sum("n").alias("df"))
+    s = SegmentSearcher(segs, tstats, cstats, boosts={0: 1.0})
+    top = [r["doc_id"] for r in s.search_terms(["megaterm"], k=5, mode="or").collect()]
+    assert top == [2, 5, 8, 11, 14]
+    segs.unpersist()
