@@ -41,7 +41,8 @@ def main() -> None:
     ap.add_argument("--local", action="store_true",
                     help="`search` only: serve-path ranked read (pyarrow + numpy, no JVM)")
     ap.add_argument("--add-column", help="name:type[:default] for `alter` (PutMapping analogue)")
-    ap.add_argument("--with", dest="with_store", help="second store for `merge`")
+    ap.add_argument("--with", dest="with_store",
+                    help="comma-separated further stores for `merge` (rightmost wins conflicts)")
     ap.add_argument("--out", help="output dir for `merge`")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--n", type=int, default=1)
@@ -81,11 +82,13 @@ def main() -> None:
         searcher = load_searcher(spark, args.index)
         for row in searcher.search_terms(analyze_query(args.query), k=args.k, mode=args.mode).collect():
             print(f"{row['doc_id']}\t{row['score']:.6f}")
-    elif args.cmd == "merge":  # Lucene/ES segment merge analogue
-        from ucuddle_search_engine_spark.plans.merge import merge_stores
+    elif args.cmd == "merge":  # Lucene/ES N-way segment merge analogue
+        from ucuddle_search_engine_spark.plans.merge import merge_many
 
-        stats = merge_stores(spark, args.index, args.with_store, args.out)
-        print(f"merged into {args.out}: {stats['n_docs']} docs (tombstones expunged)")
+        others = [s for s in args.with_store.split(",") if s]
+        stats = merge_many(spark, [args.index, *others], args.out)
+        print(f"merged {1 + len(others)} stores into {args.out}: "
+              f"{stats['n_docs']} docs (tombstones expunged)")
     elif args.cmd == "alter":  # PutMapping dance (elastic_settings.go:35-92)
         from ucuddle_search_engine_spark.plans.build_index import add_docs_column
 

@@ -135,3 +135,29 @@ def test_merge_carries_analyzer(spark, tmp_path_factory):
     build_index_resumable(spark, small, plain_dir, n_units=2)  # identity analyzer
     with pytest.raises(ValueError, match="different analyzers"):
         merge_stores(spark, plain_dir, dir_b, str(tmp_path_factory.mktemp("an_x")))
+
+
+def test_merge_many_three_way(spark, tmp_path_factory):
+    """N-way merge: three stores with overlapping keys — the RIGHTMOST store
+    wins each (repo, path) conflict, and the merged store is block-identical
+    to a fresh single-shot build over the resolved union."""
+    big = synth_corpus(spark, 200, partitions=4).cache()
+    s1 = big.limit(0).unionByName(synth_corpus(spark, 90, partitions=2))
+    s2 = big.limit(0).unionByName(synth_corpus(spark, 150, partitions=3))
+    dirs = [str(tmp_path_factory.mktemp(f"m3_{i}")) for i in range(3)]
+    out = str(tmp_path_factory.mktemp("m3_out"))
+    from ucuddle_search_engine_spark.plans.merge import merge_many
+
+    build_index_resumable(spark, s1, dirs[0], n_units=2)
+    build_index_resumable(spark, s2, dirs[1], n_units=2)
+    build_index_resumable(spark, big, dirs[2], n_units=2)
+    stats = merge_many(spark, dirs, out)
+    assert stats["n_docs"] == 200  # keys are nested subsets; rightmost = big
+
+    docs = build_docs(big, num_shards=3, scale_ids="prefix")
+    from ucuddle_search_engine_spark.operators.postings import collection_stats
+
+    cstats = collection_stats(doclens_from_docs(docs))
+    fresh = build_segments(build_postings_fast(docs), None, cstats, num_shards=3)
+    merged_segs = spark.read.parquet(os.path.join(out, "segments")).drop("tb", "unit")
+    assert _canon_segments(merged_segs) == _canon_segments(fresh)

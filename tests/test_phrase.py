@@ -46,3 +46,28 @@ def test_phrase_search_scored(idx, doc_texts):
     assert all(s > 0 for s in scores)
     # top doc really contains the phrase
     assert _py_phrase_tf(doc_texts[out[0]["doc_id"]], phrase) > 0
+
+
+def test_phrase_search_over_written_store(spark, tmp_path_factory):
+    """Quoted-phrase top-k straight from a WRITTEN store's positional sidecar
+    must equal the in-memory phrase engine — the corpus is never re-read."""
+    from pyspark.sql import functions as F
+
+    from ucuddle_search_engine_spark.plans.build_index import (
+        build_index_resumable,
+        phrase_search_written,
+    )
+    from ucuddle_search_engine_spark.synth import synth_corpus
+
+    corpus = synth_corpus(spark, 300, partitions=4).cache()
+    out = str(tmp_path_factory.mktemp("idx_phrase"))
+    build_index_resumable(spark, corpus, out, n_units=2, write_postings=True)
+
+    idx = InvertedIndex.build(corpus, num_shards=3)
+    phrase = ["t0", "t1"]
+    want = [(r["doc_id"], round(r["score"], 9)) for r in
+            phrase_search(idx.postings.filter(F.col("field") == 0),
+                          idx.dstats, idx.cstats, phrase, k=5).collect()]
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           phrase_search_written(spark, out, phrase, k=5).collect()]
+    assert got == want and len(got) > 0

@@ -273,6 +273,26 @@ def build_index_resumable(
     return stats
 
 
+def phrase_search_written(spark: SparkSession, out_dir: str, phrase: list[str],
+                          k: int = 10, field: int = 0) -> DataFrame:
+    """Quoted-phrase top-k over a WRITTEN store (requires the positional
+    postings sidecar, build_index_resumable(write_postings=True) — Lucene's
+    .pos analogue): the phrase terms' postings are a pushdown-pruned scan of
+    the term-partitioned sidecar, adjacency is the position-join chain of
+    operators/phrase, scoring is the PhraseQuery pseudo-term BM25. The corpus
+    is never re-read or re-tokenized. Phrase terms must already be analyzed
+    with the store's analyzer (load_analyzer)."""
+    from ..operators.phrase import phrase_search
+
+    post = spark.read.parquet(os.path.join(out_dir, "postings"))
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+    dstats = docs.select("doc_id", F.lit(field).alias("field"), "doclen")
+    with open(os.path.join(out_dir, "cstats.json")) as f:
+        cs = json.load(f)
+    cstats = spark.createDataFrame(cs)
+    return phrase_search(post, dstats, cstats, phrase, k=k, field=field)
+
+
 def load_analyzer(out_dir: str):
     """The analyzer this store was built with (None = identity)."""
     path = os.path.join(out_dir, "analyzer.json")

@@ -74,51 +74,80 @@ def _load_docs(spark: SparkSession, store: str) -> DataFrame:
 
 def merge_stores(spark: SparkSession, left: str, right: str, out_dir: str,
                  num_shards: int = 3, block_size: int = 128) -> dict:
-    """Merge two written stores into a fresh store at out_dir (docs +
-    tb-partitioned segments + tstats + cstats + analyzer config). Right wins
-    on (repo, path) conflicts; tombstones of both inputs are expunged.
+    """Two-store merge — see merge_many (right wins conflicts)."""
+    return merge_many(spark, [left, right], out_dir, num_shards=num_shards,
+                      block_size=block_size)
+
+
+def merge_many(spark: SparkSession, stores: list[str], out_dir: str,
+               num_shards: int = 3, block_size: int = 128) -> dict:
+    """Merge N written stores into one fresh store at out_dir (docs +
+    tb-partitioned segments + tstats + cstats + analyzer config) — the
+    Lucene N-way segment merge. A (repo, path) present in several stores
+    keeps the RIGHTMOST store's row (ES upsert semantics, later = newer);
+    tombstones of every input are expunged.
+
+    Conflict resolution is ONE keep-best window over the tagged union (not a
+    chain of anti-joins — that would be N² shuffles at fleet-sized merges).
 
     Analyzer parity: the merged store's query side must analyze exactly like
     the inputs' index side (the search_analyzer == index analyzer pin,
     crawler/functs_with_elastic.go:85-94), so the inputs' analyzer.json is
     carried into out_dir and used for the recomputed title avgdl; stores
     built with DIFFERENT analyzers share no token space and refuse to merge."""
-    an_left, an_right = load_analyzer(left), load_analyzer(right)
-    if an_left != an_right:
+    if len(stores) < 2:
+        raise ValueError("merge_many needs at least two stores")
+    analyzers = [load_analyzer(s) for s in stores]
+    if any(a != analyzers[0] for a in analyzers[1:]):
         raise ValueError(
             "refusing to merge stores built with different analyzers: "
-            f"{left} vs {right} — their index token spaces are incompatible"
+            f"{stores} — their index token spaces are incompatible"
         )
-    analyzer = an_left
-    a, b = _load_docs(spark, left), _load_docs(spark, right)
+    analyzer = analyzers[0]
     key = ["repo", "path"]
-    a_kept = a.join(b.select(*key), key, "left_anti")  # right wins conflicts
-    merged_src = a_kept.select(a.columns).unionByName(b.select(a.columns))
+    docs_list = [_load_docs(spark, s) for s in stores]
+    cols = docs_list[0].columns
+    tagged = None
+    for i, d in enumerate(docs_list):
+        t = d.select(cols).withColumn("_sidx", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key).orderBy(F.col("_sidx").desc())
+    winners = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .persist()
+    )
 
     # fresh dense ids over the union, same determinism contract as a build
-    docs = assign_doc_ids_prefix(merged_src.drop("doc_id", "shard"), key).withColumn(
-        "shard", F.pmod(F.col("doc_id"), F.lit(num_shards)).cast("int")
-    )
+    docs = assign_doc_ids_prefix(
+        winners.drop("doc_id", "shard", "_sidx"), key
+    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(num_shards)).cast("int"))
     cstats = _global_field_stats(docs, analyzer=analyzer).persist()
     cstats.count()
 
     # old→new id mapping per input store (hash join on the uniform old id)
-    def mapping(old_docs: DataFrame) -> DataFrame:
-        return old_docs.select(F.col("doc_id").alias("old_id"), *key).join(
+    def mapping(i: int) -> DataFrame:
+        keep = winners.filter(F.col("_sidx") == i)
+        return keep.select(F.col("doc_id").alias("old_id"), *key).join(
             docs.select(F.col("doc_id").alias("new_id"), *key), key
         ).select("old_id", "new_id")
 
     parts = []
-    for store, keep in ((left, a_kept), (right, b)):
+    for i, store in enumerate(stores):
         segs = spark.read.parquet(os.path.join(store, "segments"))
         decoded = decode_store_postings(segs)
         # keep only surviving docs (conflict losers + tombstones drop here)
-        m = mapping(keep)
+        m = mapping(i)
         parts.append(
             decoded.join(m, decoded["doc_id"] == m["old_id"])
             .select("term", "field", F.col("new_id").alias("doc_id"), "tf", "doclen")
         )
-    postings = parts[0].unionByName(parts[1])
+    postings = parts[0]
+    for p in parts[1:]:
+        postings = postings.unionByName(p)
 
     segs_out = build_segments(postings, None, cstats, num_shards=num_shards, block_size=block_size)
     docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs/unit=0"))
@@ -143,4 +172,5 @@ def merge_stores(spark: SparkSession, left: str, right: str, out_dir: str,
             json.dump(asdict(analyzer), f)
     n = docs.count()
     cstats.unpersist()
+    winners.unpersist()
     return {"n_docs": n}
