@@ -125,7 +125,16 @@ def main() -> None:
     os.makedirs(ROOT / "BENCH", exist_ok=True)
     with open(ROOT / "BENCH" / "scaling.json", "w") as f:
         json.dump({"results": results, "scaling_efficiency": round(eff, 3), "speedup": round(speedup, 2)}, f, indent=2)
-    with open(ROOT / "BENCH" / "BASELINE.md", "w") as f:
+    # Replace ONLY the scaling section; keep every other "## ..." section
+    # (1M store, recall, scorer comparison, ...) that lives in the same file.
+    md_path = ROOT / "BENCH" / "BASELINE.md"
+    tail = ""
+    if md_path.exists():
+        old = md_path.read_text()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx + 1:]
+    with open(md_path, "w") as f:
         f.write(
             "# BENCH/BASELINE — measured engine numbers\n\n"
             "Scaling-efficiency evidence per BASELINE.json north_rule: the same index build\n"
@@ -143,6 +152,7 @@ def main() -> None:
             f"(target ≥ 0.8 → {'MET' if eff >= 0.8 else 'NOT MET'})\n\n"
             "Query latency is dominated by Spark job-launch overhead at this corpus size;\n"
             "per-shard WAND decode is sub-ms. See BENCH_r{N}.json for the sf0.1 suite.\n"
+            + ("\n" + tail if tail else "")
         )
     print(json.dumps({"scaling_efficiency": round(eff, 3), "results": results}))
 
