@@ -338,6 +338,20 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
 
 
+JACCARD_DF_CAP = 5
+
+
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """The 100 TB variant of exact Jaccard: boilerplate shingles (document
+    frequency > cap) are dropped from the shingle SPACE before the inverted
+    self-join, bounding every bucket — exact Jaccard of the capped
+    representation, replayed identically by the oracle (at sf0.01 the cap
+    really drops shingles: max df is 7, cap 5)."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), 0.5, max_shingle_df=JACCARD_DF_CAP
+    )
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     """60-bit SimHash per doc (tf-weighted bit votes, md5-derived term bits)."""
     return simhash(load_table(spark, sf_dir, "documents"))
@@ -1300,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1432,6 +1447,24 @@ def oracle_sql() -> dict[str, str]:
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "ngram_jaccard_capped": f"""
+            WITH {_SHINGLES_SQL},
+            df AS (SELECT shingle, count(*) AS d FROM sh GROUP BY shingle),
+            shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)
+                    WHERE df.d <= {JACCARD_DF_CAP}),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id
             )
             SELECT doc_a, doc_b,
