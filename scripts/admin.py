@@ -33,7 +33,9 @@ from ucuddle_search_engine_spark.session import get_spark
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["describe", "last-id", "search", "delete-docs", "drop",
-                                    "alter", "merge", "since"])
+                                    "alter", "merge", "since", "add-docs"])
+    ap.add_argument("--from", dest="from_corpus",
+                    help="corpus parquet (repo,path,commit,lang,content) for `add-docs`")
     ap.add_argument("--index", required=True)
     ap.add_argument("--query")
     ap.add_argument("--ids")
@@ -98,6 +100,26 @@ def main() -> None:
         add_docs_column(spark, args.index, name, dtype, default)
         print(f"added column {name} {dtype} default={default}")
         spark.read.parquet(f"{args.index}/docs").printSchema()
+    elif args.cmd == "add-docs":  # the reference's insert path (S8,
+        # functs_with_elastic.go:245-362) over immutable stores: build a
+        # delta store from the new corpus (same analyzer), N-way merge into
+        # --out (new/updated keys win, tombstones expunged) — never
+        # re-tokenizes the existing index
+        import tempfile
+
+        from ucuddle_search_engine_spark.plans.build_index import (
+            build_index_resumable,
+            load_analyzer,
+        )
+        from ucuddle_search_engine_spark.plans.merge import merge_many
+
+        corpus = spark.read.parquet(args.from_corpus)
+        with tempfile.TemporaryDirectory() as tmp:
+            delta = f"{tmp}/delta"
+            build_index_resumable(spark, corpus, delta, n_units=1,
+                                  analyzer=load_analyzer(args.index))
+            stats = merge_many(spark, [args.index, delta], args.out)
+        print(f"added {corpus.count()} docs into {args.out}: {stats['n_docs']} total")
     elif args.cmd == "since":  # time-windowed maintenance: docs added >= ts
         # (added_at stamped at build, C10 / functs_with_elastic.go:311) —
         # feeds re-index / delete-by-age; parquet row-group min/max stats

@@ -347,3 +347,45 @@ def test_build_with_empty_unit(spark, tmp_path_factory):
     s = load_searcher(spark, out)
     assert 0 < len(s.search_terms(["t0"], k=5, mode="or").collect()) <= 5
     assert 0 < len(s.search_local(["t0"], k=5, mode="or")) <= 5
+
+
+def test_admin_add_docs_upsert(spark, tmp_path_factory, monkeypatch):
+    """admin.py add-docs: the reference's insert path over immutable stores —
+    a delta store merges in with new/updated keys winning; the result answers
+    like a fresh build over the upserted corpus."""
+    import sys as _sys
+
+    from ucuddle_search_engine_spark.operators.bm25 import InvertedIndex
+    from ucuddle_search_engine_spark.plans.build_index import load_searcher
+
+    base = synth_corpus(spark, 100, partitions=2).cache()
+    extra = synth_corpus(spark, 160, partitions=2).cache()  # 100 overlap + 60 new
+    idx_dir = str(tmp_path_factory.mktemp("add_base"))
+    out = str(tmp_path_factory.mktemp("add_out"))
+    corpus_pq = str(tmp_path_factory.mktemp("add_src")) + "/corpus"
+    from ucuddle_search_engine_spark.plans.build_index import build_index_resumable
+
+    build_index_resumable(spark, base, idx_dir, n_units=2)
+    extra.write.parquet(corpus_pq)
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    _sys.path.insert(0, scripts)
+    try:
+        import admin
+        monkeypatch.setattr(_sys, "argv", [
+            "admin.py", "add-docs", "--index", idx_dir, "--from", corpus_pq, "--out", out,
+        ])
+        admin.main()
+    finally:
+        _sys.path.remove(scripts)
+
+    got_n = spark.read.parquet(os.path.join(out, "docs")).count()
+    assert got_n == 160
+    s = load_searcher(spark, out)
+    idx = InvertedIndex.build(extra, num_shards=3)  # upserted corpus == extra
+    for terms, mode in ((["t0", "t1"], "or"), (["t0", "t1"], "and")):
+        got = [(r["doc_id"], round(r["score"], 9)) for r in
+               s.search_terms(terms, k=10, mode=mode).collect()]
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                idx.search_terms(terms, k=10, mode=mode).collect()]
+        assert got == want, (terms, mode)
