@@ -49,27 +49,34 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
 def unigram_logprob(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, avg_logprob): mean ln(corpus unigram probability)
     per token — the perplexity-proxy quality score (low = rare/garbage
-    vocabulary). One explode → two aggregates → one join; the unigram table
-    is vocabulary-sized (broadcastable at any corpus scale)."""
+    vocabulary).
+
+    Shuffle shape: the vocab join runs over the MAP-SIDE-COMBINED (doc, term,
+    tf) table, not the raw token stream — a hot term ("the") contributes one
+    row per document to the exchange, never one row per occurrence; the
+    weighted mean Σ tf·ln(p) / Σ tf equals the per-token mean exactly."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_PATTERN), 0)).alias("term"),
     )
-    uni = toks.groupBy("term").agg(F.count("*").alias("n"))
-    total = toks.agg(F.count("*").cast("double").alias("n_total"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    uni = tf.groupBy("term").agg(F.sum("tf").alias("n"))
+    total = uni.agg(F.sum("n").cast("double").alias("n_total"))
     return (
-        toks.join(uni, "term")
+        tf.join(uni, "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("n") / F.col("n_total"))), 6).alias("avg_logprob"),
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n") / F.col("n_total"))) / F.sum("tf"), 6
+            ).alias("avg_logprob"),
         )
     )
 
 
 def pack_documents(docs: DataFrame, budget: int, id_col: str = "doc_id",
-                   text_col: str = "text", bucket_size: int = 1000) -> DataFrame:
+                   text_col: str = "text", bucket_size: int | None = None) -> DataFrame:
     """Sequence packing: documents are concatenated in id order and chunked
     into packs of `budget` tokens (BPE-piece proxy count); a document's
     pack_id is the pack where its first token lands. Equivalent to
@@ -79,7 +86,17 @@ def pack_documents(docs: DataFrame, budget: int, id_col: str = "doc_id",
     range-bucketed, per-bucket token totals come back to the driver (one tiny
     aggregate — n/bucket_size rows), and the within-bucket cumsum is a
     window PARTITIONED BY bucket — never a global single-partition window
-    (the sort-id trap at 100 TB)."""
+    (the sort-id trap at 100 TB).
+
+    bucket_size=None (default) auto-sizes so the driver holds ≤ ~4096 bucket
+    totals regardless of corpus size; the pack_id result is bucket_size-
+    INVARIANT (tested), so the knob is pure execution tuning."""
+    if bucket_size is None:
+        span = docs.agg(
+            F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+        ).first()
+        width = int(span["hi"] - span["lo"]) + 1 if span["hi"] is not None else 1
+        bucket_size = max(1000, -(-width // 4096))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         bpe_token_count(text_col).alias("n_tokens"),
