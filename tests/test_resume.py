@@ -389,3 +389,21 @@ def test_admin_add_docs_upsert(spark, tmp_path_factory, monkeypatch):
         want = [(r["doc_id"], round(r["score"], 9)) for r in
                 idx.search_terms(terms, k=10, mode=mode).collect()]
         assert got == want, (terms, mode)
+
+
+def test_open_local_reads_tombstones(spark, corpus, tmp_path_factory):
+    """The Spark-free store open (serving tier) must pick up tombstones too —
+    a deleted doc can never be served."""
+    from ucuddle_search_engine_spark.operators.wand import SegmentSearcher
+    from ucuddle_search_engine_spark.plans.build_index import build_index_resumable
+
+    out = str(tmp_path_factory.mktemp("idx_local_tomb"))
+    build_index_resumable(spark, corpus, out, n_units=2)
+    pre = SegmentSearcher.open_local(out)
+    dead = [d for d, _ in pre.search_local(["t0"], k=2, mode="or")]
+    spark.createDataFrame([(i,) for i in dead], "doc_id long").write.mode("append").parquet(
+        os.path.join(out, "tombstones")
+    )
+    s = SegmentSearcher.open_local(out)
+    assert s.tombstones == sorted(dead)
+    assert not set(dead) & {d for d, _ in s.search_local(["t0"], k=10, mode="or")}
