@@ -56,7 +56,8 @@ class SearchApp:
         self.searcher = SegmentSearcher.open_local(store_dir)
         self.analyzer = _load_analyzer_py(store_dir)
 
-    def search(self, q: str, k: int = 10, mode: str = "or") -> list[dict]:
+    def search(self, q: str, k: int = 10, mode: str = "or",
+               highlight: bool = False) -> list[dict]:
         if len(q.strip()) < 3:  # length guard (web/app.py:30-31)
             return []
         terms = self.analyzer.analyze_py(q)
@@ -68,21 +69,40 @@ class SearchApp:
         import pyarrow.dataset as pds
 
         ids = [d for d, _ in hits]
+        want_snippets = highlight and os.path.isdir(os.path.join(self.store_dir, "postings"))
+        cols = ["doc_id", "title", "repo", "path"] + (["content"] if want_snippets else [])
         tbl = pds.dataset(os.path.join(self.store_dir, "docs"), partitioning="hive").to_table(
-            filter=pds.field("doc_id").isin(ids),
-            columns=["doc_id", "title", "repo", "path"],
+            filter=pds.field("doc_id").isin(ids), columns=cols,
         )
-        meta = {
-            d: (t, r, p)
-            for d, t, r, p in zip(tbl["doc_id"].to_pylist(), tbl["title"].to_pylist(),
-                                  tbl["repo"].to_pylist(), tbl["path"].to_pylist())
-        }
+        meta = {row["doc_id"]: row for row in tbl.to_pylist()}
+        snippets: dict[int, str] = {}
+        if want_snippets:
+            # bolded densest-window snippets from the positional sidecar —
+            # same _snippet the distributed highlight path uses (C7); the
+            # sidecar read is a term+id-filtered pushdown scan, never the corpus
+            from ucuddle_search_engine_spark.operators.highlight import _snippet
+
+            pt = pds.dataset(os.path.join(self.store_dir, "postings"),
+                             partitioning="hive").to_table(
+                filter=(pds.field("term").isin(terms) & pds.field("doc_id").isin(ids)
+                        & (pds.field("field") == 0)),
+                columns=["doc_id", "positions"],
+            )
+            pos: dict[int, list[int]] = {}
+            for row in pt.to_pylist():
+                pos.setdefault(row["doc_id"], []).extend(row["positions"])
+            for d, p in pos.items():
+                snippets[d] = _snippet(meta[d]["content"], sorted(p))
         out = []
         for doc_id, score in hits:
-            title, repo, path = meta.get(doc_id, ("", "", ""))
+            m = meta.get(doc_id, {})
+            title = m.get("title") or ""
             title = (title[:1].upper() + title[1:]) if title else ""  # C6
-            out.append({"doc_id": doc_id, "score": round(score, 6),
-                        "title": title, "repo": repo, "path": path})
+            h = {"doc_id": doc_id, "score": round(score, 6), "title": title,
+                 "repo": m.get("repo", ""), "path": m.get("path", "")}
+            if want_snippets:
+                h["snippet"] = snippets.get(doc_id, "")
+            out.append(h)
         return out
 
     def n_docs(self) -> int:
@@ -102,6 +122,7 @@ def make_handler(app: SearchApp):
                         q=qs.get("q", [""])[0],
                         k=min(int(qs.get("k", ["10"])[0]), 100),
                         mode=qs.get("mode", ["or"])[0],
+                        highlight=qs.get("highlight", ["0"])[0] == "1",
                     )
                 else:
                     self.send_error(404)

@@ -407,3 +407,37 @@ def test_open_local_reads_tombstones(spark, corpus, tmp_path_factory):
     s = SegmentSearcher.open_local(out)
     assert s.tombstones == sorted(dead)
     assert not set(dead) & {d for d, _ in s.search_local(["t0"], k=10, mode="or")}
+
+
+def test_serve_highlighted_snippets(spark, corpus, tmp_path_factory):
+    """/search?highlight=1 over a store with the positional sidecar returns
+    bolded densest-window snippets (C7) — computed Spark-free from the
+    sidecar + stored content, never re-reading the corpus."""
+    import sys as _sys
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    _sys.path.insert(0, scripts)
+    try:
+        from serve import SearchApp
+    finally:
+        _sys.path.remove(scripts)
+    from ucuddle_search_engine_spark.plans.build_index import build_index_resumable
+
+    out = str(tmp_path_factory.mktemp("idx_serve_hl"))
+    build_index_resumable(spark, corpus, out, n_units=2, write_postings=True)
+    app = SearchApp(out)
+    hits = app.search("t0 t1", k=5, mode="or", highlight=True)
+    assert hits and all("snippet" in h for h in hits)
+    top = hits[0]["snippet"]
+    assert "<b>" in top and "</b>" in top
+    assert "<b>t0</b>" in top or "<b>t1</b>" in top
+    # snippet text matches the distributed highlight path for the same doc
+    from ucuddle_search_engine_spark.operators.bm25 import InvertedIndex
+    from ucuddle_search_engine_spark.operators.highlight import highlight_hits
+
+    idx = InvertedIndex.build(corpus, num_shards=3)
+    topk = idx.search_terms(["t0", "t1"], k=5, mode="or")
+    want = {r["doc_id"]: r["snippet"] for r in
+            highlight_hits(topk, idx.docs, idx.postings, ["t0", "t1"]).collect()}
+    got = {h["doc_id"]: h["snippet"] for h in hits}
+    assert got == want
