@@ -57,12 +57,23 @@ class SearchApp:
         self.analyzer = _load_analyzer_py(store_dir)
 
     def search(self, q: str, k: int = 10, mode: str = "or",
-               highlight: bool = False) -> list[dict]:
+               highlight: bool = False, fuzzy: bool = False) -> list[dict]:
         if len(q.strip()) < 3:  # length guard (web/app.py:30-31)
             return []
         terms = self.analyzer.analyze_py(q)
         if not terms:
             return []
+        if fuzzy:
+            # ES fuzziness:AUTO (web_old/elastic_interaction.py:23): expand
+            # each term against the in-memory vocabulary, score the expanded
+            # set as one disjunction — pure-Python mirror of the Spark path
+            from ucuddle_search_engine_spark.operators.fuzzy import expand_terms_py
+
+            vocab = {t: df for (t, f), df in self.searcher._tstats_cache.items() if f == 0}
+            terms = expand_terms_py(vocab, terms)
+            if not terms:
+                return []
+            mode = "or"
         hits = self.searcher.search_local(terms, k=k, mode=mode)
         if not hits:
             return []
@@ -123,6 +134,7 @@ def make_handler(app: SearchApp):
                         k=min(int(qs.get("k", ["10"])[0]), 100),
                         mode=qs.get("mode", ["or"])[0],
                         highlight=qs.get("highlight", ["0"])[0] == "1",
+                        fuzzy=qs.get("fuzzy", ["0"])[0] == "1",
                     )
                 else:
                     self.send_error(404)

@@ -441,3 +441,41 @@ def test_serve_highlighted_snippets(spark, corpus, tmp_path_factory):
             highlight_hits(topk, idx.docs, idx.postings, ["t0", "t1"]).collect()}
     got = {h["doc_id"]: h["snippet"] for h in hits}
     assert got == want
+
+
+def test_serve_fuzzy_matches_spark_fuzzy(spark, corpus, tmp_path_factory):
+    """Serving-tier fuzzy (?fuzzy=1): the pure-Python expansion must equal the
+    Spark expand_terms on the same dictionary, and the fuzzy ranking must
+    match fuzzy_search over the loaded store."""
+    import sys as _sys
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    _sys.path.insert(0, scripts)
+    try:
+        from serve import SearchApp
+    finally:
+        _sys.path.remove(scripts)
+    from ucuddle_search_engine_spark.operators.fuzzy import (
+        expand_terms,
+        expand_terms_py,
+        fuzzy_search,
+    )
+    from ucuddle_search_engine_spark.plans.build_index import build_index_resumable, load_searcher
+
+    out = str(tmp_path_factory.mktemp("idx_serve_fz"))
+    build_index_resumable(spark, corpus, out, n_units=2)
+    s = load_searcher(spark, out).prepare()
+    qterms = ["modul", "t00"]  # 1-edit typos
+
+    vocab = {t: df for (t, f), df in s._tstats_cache.items() if f == 0}
+    got_terms = expand_terms_py(vocab, qterms)
+    dictionary = s.tstats.filter(F.col("field") == 0).groupBy("term").agg(
+        F.max("df").alias("df"))
+    want_terms = sorted({r["term"] for r in expand_terms(dictionary, qterms).collect()})
+    assert got_terms == want_terms and got_terms
+
+    app = SearchApp(out)
+    hits = app.search("modul t00", k=5, mode="or", fuzzy=True)
+    want = [(r["doc_id"], round(r["score"], 6)) for r in
+            fuzzy_search(s, qterms, k=5).collect()]
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits

@@ -63,6 +63,46 @@ def expand_terms(dictionary: DataFrame, query_terms: list[str],
     return cand.select("qterm", "term", "dist")
 
 
+def _lev_capped(a: str, b: str, cap: int) -> int:
+    """Levenshtein with early exit once every band cell exceeds cap."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        best = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(v)
+            best = min(best, v)
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
+def expand_terms_py(vocab_df: dict[str, float], query_terms: list[str],
+                    max_expansions: int | None = MAX_EXPANSIONS) -> list[str]:
+    """Driver/serving-side mirror of expand_terms over an in-memory vocabulary
+    {term: df} (e.g. a prepared SegmentSearcher's term-stats cache): same AUTO
+    distances, same length-band prefilter, same df-desc/term-asc expansion cap
+    — so the serving tier's fuzzy matches the Spark path's. O(|vocab|·|q|)
+    with banded early-exit Levenshtein; for 10⁸-term vocabularies add a
+    first-char/prefix bucket exactly like the Column path's note."""
+    out: set[str] = set()
+    for qt in sorted(set(query_terms)):
+        d = auto_distance(qt)
+        cand = []
+        for t, df_ in vocab_df.items():
+            if abs(len(t) - len(qt)) <= d and _lev_capped(t, qt, d) <= d:
+                cand.append((t, df_))
+        if max_expansions is not None:
+            cand.sort(key=lambda x: (-x[1], x[0]))
+            cand = cand[:max_expansions]
+        out.update(t for t, _ in cand)
+    return sorted(out)
+
+
 def fuzzy_search(idx, query_terms: list[str], k: int = 10,
                  max_expansions: int | None = MAX_EXPANSIONS,
                  round_dp: int | None = None) -> DataFrame:
