@@ -120,6 +120,36 @@ class SearchApp:
         return int(self.searcher._coll[0][0]) if 0 in self.searcher._coll else 0
 
 
+class RoutedSearchApp:
+    """Language-routed serving over a RoutedStores root (plans/routed layout:
+    out/lang=<l>/ + routing.json) — the reference's full read path: detect the
+    query language (web/app.py:33) and serve from that language's store with
+    its own analyzer (web/elastic_interaction.py:53-57). Detection is the
+    same stopword vote the doc side used to build the stores."""
+
+    def __init__(self, root_dir: str):
+        with open(os.path.join(root_dir, "routing.json")) as f:
+            self.langs = json.load(f)["langs"]
+        self.apps = {
+            lang: SearchApp(os.path.join(root_dir, f"lang={lang}")) for lang in self.langs
+        }
+
+    def search(self, q: str, k: int = 10, mode: str = "or", **kw) -> list[dict]:
+        from ucuddle_search_engine_spark.operators.routing import detect_lang
+
+        lang = detect_lang(q)
+        app = self.apps.get(lang)
+        if app is None:
+            return []  # und / unrouted language: no matching store
+        hits = app.search(q, k=k, mode=mode, **kw)
+        for h in hits:
+            h["lang"] = lang
+        return hits
+
+    def n_docs(self) -> int:
+        return sum(a.n_docs() for a in self.apps.values())
+
+
 def make_handler(app: SearchApp):
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (stdlib API name)
@@ -157,10 +187,13 @@ def make_handler(app: SearchApp):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index", required=True)
+    ap.add_argument("--index", required=True,
+                    help="a single store dir, or a RoutedStores root with --routed")
+    ap.add_argument("--routed", action="store_true",
+                    help="treat --index as a per-language RoutedStores root")
     ap.add_argument("--port", type=int, default=8080)
     args = ap.parse_args()
-    app = SearchApp(args.index)
+    app = RoutedSearchApp(args.index) if args.routed else SearchApp(args.index)
     srv = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(app))
     print(f"serving {args.index} on http://127.0.0.1:{args.port}  (/search?q=...&k=10&mode=or)")
     srv.serve_forever()

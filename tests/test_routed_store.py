@@ -92,3 +92,28 @@ def test_serve_ru_store_end_to_end(spark, bilingual, tmp_path_factory):
     want = [(r["doc_id"], round(r["score"], 6)) for r in
             load_searcher(spark, ru_store).search_terms(terms, k=5, mode="or").collect()]
     assert [(h["doc_id"], h["score"]) for h in hits] == want
+
+
+def test_routed_serve_detects_and_routes(spark, bilingual, tmp_path_factory):
+    """RoutedSearchApp: a Russian query routes to the ru store (detected by
+    the Cyrillic stopword vote), an English one to en, an undetectable one to
+    nothing — the reference's full read path, Spark-free."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        from serve import RoutedSearchApp
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path_factory.mktemp("routed_serve_root"))
+    build_routed_stores(spark, bilingual, out, n_units=1)
+    app = RoutedSearchApp(out)
+
+    ru_hits = app.search("как окна и потоков", k=5)  # ru stopwords vote ru
+    assert ru_hits and all(h["lang"] == "ru" for h in ru_hits)
+    en_hits = app.search("the closing window for a customer", k=5)
+    assert en_hits and all(h["lang"] == "en" for h in en_hits)
+    assert app.search("qqq zzz xxx", k=5) == []  # und → no store
+    assert app.n_docs() == 8
