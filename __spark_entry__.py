@@ -1146,8 +1146,26 @@ def q_fuzzy_match(spark, sf_dir):
     return fuzzy_search(idx, FUZZY_TERMS, k=10, max_expansions=None, round_dp=6)
 
 
-def _fuzzy_sql(k: int = 10) -> str:
+def q_fuzzy_match_prefix(spark, sf_dir):
+    """fuzziness:AUTO with prefix_length=1 (the ES knob for huge
+    vocabularies): candidates must share the query term's first character
+    exactly, so over a written store the dictionary scan reads only the
+    stored-p1 first-char bands (pushed filter; tests/test_plans.py asserts
+    it). Uncapped expansions so the oracle is exact."""
+    from ucuddle_search_engine_spark.operators.fuzzy import fuzzy_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = InvertedIndex.from_documents_table(docs)
+    return fuzzy_search(idx, FUZZY_TERMS, k=10, max_expansions=None, round_dp=6,
+                        prefix_length=1)
+
+
+def _fuzzy_sql(k: int = 10, prefix_length: int = 0) -> str:
     vals = ", ".join(f"('{t}')" for t in FUZZY_TERMS)
+    pre = (
+        f"AND substring(v.term, 1, {prefix_length}) = substring(qs.qterm, 1, {prefix_length})"
+        if prefix_length >= 1 else ""
+    )
     return f"""
 WITH toks AS ({TOKS_SQL}),
 vocab AS (SELECT DISTINCT term FROM toks),
@@ -1158,6 +1176,7 @@ expand AS (
       (CASE WHEN length(qs.qterm) < 3 THEN 0 WHEN length(qs.qterm) <= 5 THEN 1 ELSE 2 END)
     AND levenshtein(v.term, qs.qterm) <=
       (CASE WHEN length(qs.qterm) < 3 THEN 0 WHEN length(qs.qterm) <= 5 THEN 1 ELSE 2 END)
+    {pre}
 ),
 dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
 coll AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doclen) AS avgdl FROM dl),
@@ -1338,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_routed_search": q_lang_routed_search,
         "lang_routed_search_cyrillic": q_lang_routed_search_cyrillic,
         "fuzzy_match": q_fuzzy_match,
+        "fuzzy_match_prefix": q_fuzzy_match_prefix,
         "paged_search": q_paged_search,
         "token_counts": q_token_counts,
         "dedup_components": q_dedup_components,
@@ -1354,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_routed_search_cyrillic": _lang_routed_sql(
             lang="ru", query=CYRILLIC_QUERY, docs_sql=_MIXED_DOCS_SQL),
         "fuzzy_match": _fuzzy_sql(),
+        "fuzzy_match_prefix": _fuzzy_sql(prefix_length=1),
         "paged_search": _paged_sql(),
         "token_counts": _token_counts_sql(),
         "dedup_components": _components_sql(),

@@ -52,12 +52,95 @@ def _load_analyzer_py(store_dir: str):
 
 class SearchApp:
     def __init__(self, store_dir: str):
+        import threading
+
         self.store_dir = store_dir
-        self.searcher = SegmentSearcher.open_local(store_dir)
-        self.analyzer = _load_analyzer_py(store_dir)
+        self._lock = threading.Lock()
+        self._open()
+
+    def _open(self) -> None:
+        self.searcher = SegmentSearcher.open_local(self.store_dir)
+        self.analyzer = _load_analyzer_py(self.store_dir)
+        # fuzzy-expansion vocabulary caches: merged max-df across ALL fields
+        # (title-only terms expand too), built lazily on the first fuzzy
+        # query — full dict for prefix=0, per-first-char buckets (a pruned
+        # tstats read each) for prefix>=1
+        self._vocab_full: dict[str, float] | None = None
+        self._vocab_buckets: dict[str, dict[str, float]] = {}
+        self._gen = self._generation()
+
+    # -- freshness (the ES refresh analogue) --------------------------------
+    # The reference makes every indexed doc immediately searchable
+    # (Refresh:"true", crawler/functs_with_elastic.go:321). Here writes land
+    # via admin.py (delete-docs tombstones in place; add-docs/merge build a
+    # new store that is swapped into the served path), so freshness = detect
+    # the store generation changed and reopen — a few stat() calls per
+    # request, no restart.
+    def _generation(self) -> tuple:
+        gen = []
+        for rel in ("cstats.json", "analyzer.json", "tstats", "tombstones", "docs"):
+            p = os.path.join(self.store_dir, rel)
+            try:
+                st = os.stat(p)
+                gen.append((rel, st.st_mtime_ns, st.st_size))
+            except FileNotFoundError:
+                gen.append((rel, None, None))
+        return tuple(gen)
+
+    def _maybe_reload(self) -> None:
+        gen = self._generation()
+        if gen != self._gen:
+            with self._lock:
+                if gen != self._gen:  # double-checked under the lock
+                    self._open()
+
+    def _vocab(self, firsts: list[str] | None) -> dict[str, float]:
+        """{term: max df across fields} for fuzzy expansion. firsts=None →
+        the whole vocabulary (prefix_length=0); otherwise only those
+        first-char buckets, each a p1-filtered (row-group-pruned) tstats
+        read, cached across requests."""
+        import pyarrow.dataset as pds
+
+        ds = pds.dataset(os.path.join(self.store_dir, "tstats"), partitioning="hive")
+        has_p1 = "p1" in ds.schema.names
+
+        def merge_rows(tt) -> dict[str, float]:
+            out: dict[str, float] = {}
+            for t, d in zip(tt["term"].to_pylist(), tt["df"].to_pylist()):
+                if d > out.get(t, -1):
+                    out[t] = d
+            return out
+
+        if firsts is None or not has_p1:
+            with self._lock:
+                if self._vocab_full is None:
+                    self._vocab_full = merge_rows(ds.to_table(columns=["term", "df"]))
+            full = self._vocab_full
+            if firsts is None:
+                return full
+            fset = set(firsts)
+            return {t: d for t, d in full.items() if t[:1] in fset}
+        with self._lock:
+            missing = [c for c in firsts if c not in self._vocab_buckets]
+            if missing:
+                tt = ds.to_table(filter=pds.field("p1").isin(missing),
+                                 columns=["term", "df", "p1"])
+                got = {c: {} for c in missing}
+                for t, d, c in zip(tt["term"].to_pylist(), tt["df"].to_pylist(),
+                                   tt["p1"].to_pylist()):
+                    b = got[c]
+                    if d > b.get(t, -1):
+                        b[t] = d
+                self._vocab_buckets.update(got)
+            out: dict[str, float] = {}
+            for c in firsts:
+                out.update(self._vocab_buckets.get(c, {}))
+            return out
 
     def search(self, q: str, k: int = 10, mode: str = "or",
-               highlight: bool = False, fuzzy: bool = False) -> list[dict]:
+               highlight: bool = False, fuzzy: bool = False,
+               prefix_length: int = 0) -> list[dict]:
+        self._maybe_reload()
         if len(q.strip()) < 3:  # length guard (web/app.py:30-31)
             return []
         terms = self.analyzer.analyze_py(q)
@@ -65,12 +148,14 @@ class SearchApp:
             return []
         if fuzzy:
             # ES fuzziness:AUTO (web_old/elastic_interaction.py:23): expand
-            # each term against the in-memory vocabulary, score the expanded
-            # set as one disjunction — pure-Python mirror of the Spark path
+            # each term against the vocabulary, score the expanded set as one
+            # disjunction — pure-Python mirror of the Spark path. With
+            # prefix_length>=1 only the query terms' first-char buckets load.
             from ucuddle_search_engine_spark.operators.fuzzy import expand_terms_py
 
-            vocab = {t: df for (t, f), df in self.searcher._tstats_cache.items() if f == 0}
-            terms = expand_terms_py(vocab, terms)
+            firsts = sorted({t[:1] for t in terms if t}) if prefix_length >= 1 else None
+            vocab = self._vocab(firsts)
+            terms = expand_terms_py(vocab, terms, prefix_length=prefix_length)
             if not terms:
                 return []
             mode = "or"
@@ -117,6 +202,7 @@ class SearchApp:
         return out
 
     def n_docs(self) -> int:
+        self._maybe_reload()
         return int(self.searcher._coll[0][0]) if 0 in self.searcher._coll else 0
 
 
@@ -165,6 +251,7 @@ def make_handler(app: SearchApp):
                         mode=qs.get("mode", ["or"])[0],
                         highlight=qs.get("highlight", ["0"])[0] == "1",
                         fuzzy=qs.get("fuzzy", ["0"])[0] == "1",
+                        prefix_length=min(int(qs.get("prefix", ["0"])[0]), 8),
                     )
                 else:
                     self.send_error(404)

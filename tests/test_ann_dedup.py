@@ -390,3 +390,31 @@ def test_connected_components_star_long_chain(spark):
     b = sorted((r["doc_id"], r["component"])
                for r in connected_components_star(redges).collect())
     assert a == b
+
+
+def test_ivf_training_collect_is_bounded(spark):
+    """IVFIndex must never collect the corpus for k-means: whatever
+    sample_rate the caller passes, the driver-side training sample is capped
+    at TRAIN_CAP (hash-sampled, deterministic)."""
+    from ucuddle_search_engine_spark.operators.ann import IVFIndex
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+
+    class Tiny(IVFIndex):
+        TRAIN_CAP = 64
+
+    ivf = Tiny(emb, n_centroids=4, n_probe=2)  # default sample_rate=1
+    assert ivf.train_size_ <= 3 * 64  # expected ≈ n/ceil(n/cap) ≤ cap (hash variance slack)
+    assert ivf.train_size_ < n
+    assert ivf.train_size_ >= 8  # still enough to train
+    # deterministic: same input → same centroids
+    ivf2 = Tiny(emb, n_centroids=4, n_probe=2)
+    import numpy as np
+
+    assert np.allclose(ivf.centroids, ivf2.centroids)
+    # and the index still answers
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assert len(ivf.topk(list(q), k=5).collect()) == 5

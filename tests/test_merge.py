@@ -161,3 +161,39 @@ def test_merge_many_three_way(spark, tmp_path_factory):
     fresh = build_segments(build_postings_fast(docs), None, cstats, num_shards=3)
     merged_segs = spark.read.parquet(os.path.join(out, "segments")).drop("tb", "unit")
     assert _canon_segments(merged_segs) == _canon_segments(fresh)
+
+
+def test_merge_aligns_mismatched_doc_columns(spark, tmp_path_factory):
+    """Merging stores whose docs schemas differ (e.g. an older store without
+    added_at) must neither raise nor drop the newer column — missing values
+    backfill as nulls, in either merge order, and `since` keeps working on
+    the merged output."""
+    a = synth_corpus(spark, 120, partitions=2).cache()
+    b = synth_corpus(spark, 80, partitions=2)
+    dir_a = str(tmp_path_factory.mktemp("align_a"))
+    dir_b = str(tmp_path_factory.mktemp("align_b"))
+    build_index_resumable(spark, a, dir_a, n_units=2)
+    build_index_resumable(spark, b, dir_b, n_units=2)
+
+    # strip added_at from store A's docs — simulating a pre-r3 store
+    docs_path = os.path.join(dir_a, "docs")
+    old = spark.read.parquet(docs_path).drop("added_at")
+    assert "added_at" in spark.read.parquet(os.path.join(dir_b, "docs")).columns
+    tmp = docs_path + ".tmp"
+    old.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(docs_path)
+    os.replace(tmp, docs_path)
+
+    for first, second in [(dir_b, dir_a), (dir_a, dir_b)]:
+        out = str(tmp_path_factory.mktemp("align_out"))
+        merge_stores(spark, first, second, out)
+        merged = spark.read.parquet(os.path.join(out, "docs"))
+        assert "added_at" in merged.columns  # newer column survives
+        n_null = merged.filter(F.col("added_at").isNull()).count()
+        n_set = merged.filter(F.col("added_at").isNotNull()).count()
+        assert n_null > 0 and n_null + n_set == 120
+    # with the NEWER store rightmost (it wins the 80 overlaps), its stamps
+    # survive the merge; only the 40 old-store-only docs are null
+    assert n_set == 80 and n_null == 40

@@ -97,6 +97,45 @@ def test_written_store_partition_pruning(spark, tmp_path_factory):
     assert "IN (" in pf[0] or "IN(" in pf[0]
 
 
+@pytest.fixture(scope="module")
+def written_store(spark, tmp_path_factory):
+    from ucuddle_search_engine_spark.plans.build_index import build_index_resumable
+
+    out = str(tmp_path_factory.mktemp("idx_layout"))
+    corpus = synth_corpus(spark, 300, partitions=4)
+    build_index_resumable(spark, corpus, out, n_units=2, num_shards=3)
+    return out
+
+
+def test_tstats_lookup_prunes(spark, written_store):
+    """A cold-term dictionary lookup must be DIRECTORY-pruned (tb partition
+    filter) with the term filter pushed to the scan — at a 10⁹-term
+    vocabulary it reads |q| of 64 directories, never the dictionary."""
+    from ucuddle_search_engine_spark.plans.build_index import load_searcher
+
+    s = load_searcher(spark, written_store)  # no prepare(): lazy dictionary
+    plan = _plan(s.tstats_lookup_df(["t5", "t40"], [0, 1]))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "tb#" in ln]
+    assert pf, plan[:1500]
+    assert "In(term" in plan, plan[:1500]  # pushed row-group filter
+    # and the lookup actually resolves (same stats the eager path would give)
+    got = dict(
+        ((t, f), d) for t, f, d in s._read_tstats_spark(["t5", "t40"], [0, 1])
+    )
+    assert got and all(d > 0 for d in got.values())
+
+
+def test_fuzzy_prefix_band_pushes_to_scan(spark, written_store):
+    """prefix_length>=1 fuzzy: the stored p1 first-char column filters the
+    dictionary scan (pushed In(p1,…)) before any levenshtein runs."""
+    from ucuddle_search_engine_spark.operators.fuzzy import prefix_banded_dictionary
+    from ucuddle_search_engine_spark.plans.build_index import load_searcher
+
+    s = load_searcher(spark, written_store)
+    plan = _plan(prefix_banded_dictionary(s.tstats, ["modul", "t00"], prefix_length=1))
+    assert "In(p1" in plan, plan[:1500]
+
+
 def test_fuzzy_expansion_plan(spark, documents):
     """The dictionary expansion must broadcast the tiny query-term side and
     keep levenshtein JVM-side — no Python UDF, no sort-merge join."""

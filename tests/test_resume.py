@@ -479,3 +479,110 @@ def test_serve_fuzzy_matches_spark_fuzzy(spark, corpus, tmp_path_factory):
     want = [(r["doc_id"], round(r["score"], 6)) for r in
             fuzzy_search(s, qterms, k=5).collect()]
     assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+
+
+def test_open_local_lazy_and_memo_lru(spark, corpus, tmp_path_factory):
+    """A store written in the tb-partitioned tstats layout opens WITHOUT
+    materializing the dictionary (serving RAM is O(memo cap), not
+    O(vocabulary)); cold terms resolve through pruned reads into a bounded
+    LRU memo, and the ranking equals the eager/prepared path exactly."""
+    out = str(tmp_path_factory.mktemp("idx_lazy"))
+    build_index_resumable(spark, corpus, out, n_units=2)
+    from ucuddle_search_engine_spark.operators.wand import SegmentSearcher
+
+    local = SegmentSearcher.open_local(out)
+    assert local._tstats_cache is None  # lazy: nothing loaded at open
+    ref = load_searcher(spark, out).prepare()
+    for terms, mode in [(["t0", "t1"], "or"), (["module", "t3"], "and"),
+                        (["t5", "zzznope"], "or")]:
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in ref.search_terms(terms, k=10, mode=mode).collect()]
+        got = [(d, round(sc, 9)) for d, sc in local.search_local(terms, k=10, mode=mode)]
+        assert got == want, (terms, mode)
+    assert local._term_memo  # cold terms were memoized
+    # repeat query hits the memo: no new keys appear
+    n = len(local._term_memo)
+    local.search_local(["t0", "t1"], k=5, mode="or")
+    assert len(local._term_memo) == n
+
+    # the memo is bounded: with a tiny cap, old entries evict
+    local2 = SegmentSearcher.open_local(out)
+    local2.TERM_MEMO_CAP = 4
+    for t in ["t0", "t1", "t2", "t3", "t4", "t5"]:
+        local2.search_local([t], k=3, mode="or")
+    assert len(local2._term_memo) <= 4
+    # evicted terms still answer correctly (re-read, re-memoized)
+    want = [(d, round(sc, 9)) for d, sc in local.search_local(["t0"], k=5, mode="or")]
+    got = [(d, round(sc, 9)) for d, sc in local2.search_local(["t0"], k=5, mode="or")]
+    assert got == want
+
+
+def test_serve_hot_reload(spark, corpus, tmp_path_factory):
+    """ES-refresh analogue: the serving tier notices a store-generation change
+    (tombstones written in place; a merged store swapped into the served
+    path) and reopens WITHOUT a restart — new writes become searchable."""
+    import shutil
+    import sys as _sys
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    _sys.path.insert(0, scripts)
+    try:
+        from serve import SearchApp
+    finally:
+        _sys.path.remove(scripts)
+
+    root = str(tmp_path_factory.mktemp("serve_reload"))
+    served = os.path.join(root, "store")
+    build_index_resumable(spark, corpus, served, n_units=2)
+    app = SearchApp(served)
+    hits = app.search("t0 t1", k=5, mode="or")
+    assert hits
+    top = hits[0]["doc_id"]
+
+    # 1) in-place delete: tombstone the top doc — same app, no restart
+    spark.createDataFrame([(top,)], "doc_id long").write.mode("append").parquet(
+        os.path.join(served, "tombstones")
+    )
+    hits2 = app.search("t0 t1", k=5, mode="or")
+    assert top not in [h["doc_id"] for h in hits2]
+
+    # 2) blue/green swap: a store with an extra doc replaces the served path
+    extra = spark.createDataFrame(
+        [("xrepo", "xq/new.py", "c0", "en", "zzfresh zzfresh document content here")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    staging = os.path.join(root, "staging")
+    build_index_resumable(spark, corpus.unionByName(extra), staging, n_units=2)
+    shutil.rmtree(served)
+    os.replace(staging, served)
+    hits3 = app.search("zzfresh document", k=5, mode="or")
+    assert any(h["path"] == "xq/new.py" for h in hits3)
+
+
+def test_serve_fuzzy_prefix_band_parity(spark, corpus, tmp_path_factory):
+    """?fuzzy=1&prefix=1 (ES prefix_length): the serving tier loads ONLY the
+    query terms' first-char vocabulary buckets and must rank exactly like the
+    Spark fuzzy path with the same prefix_length."""
+    import sys as _sys
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    _sys.path.insert(0, scripts)
+    try:
+        from serve import SearchApp
+    finally:
+        _sys.path.remove(scripts)
+    from ucuddle_search_engine_spark.operators.fuzzy import fuzzy_search
+
+    out = str(tmp_path_factory.mktemp("idx_serve_fzp"))
+    build_index_resumable(spark, corpus, out, n_units=2)
+    s = load_searcher(spark, out)
+    qterms = ["modul", "t00"]
+
+    app = SearchApp(out)
+    hits = app.search("modul t00", k=5, mode="or", fuzzy=True, prefix_length=1)
+    want = [(r["doc_id"], round(r["score"], 6)) for r in
+            fuzzy_search(s, qterms, k=5, prefix_length=1).collect()]
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+    # only the 'm' and 't' buckets were materialized
+    assert set(app._vocab_buckets) == {"m", "t"}
+    assert app._vocab_full is None

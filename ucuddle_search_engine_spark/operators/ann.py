@@ -92,6 +92,10 @@ class IVFIndex:
       corpus.
     """
 
+    # hard ceiling on the driver-side k-means training collect (vectors), in
+    # effect regardless of the caller's sample_rate
+    TRAIN_CAP = 100_000
+
     def __init__(self, emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
                  sample_rate: int = 1, train_iters: int = 8,
                  id_col: str = "vec_id", vec_col: str = "embedding",
@@ -105,9 +109,16 @@ class IVFIndex:
             # This is also what makes the IVF pipeline SQL-oracle-replayable.
             self.centroids = np.asarray(centroids, dtype=np.float64)
         else:
-            sampled = emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_rate)) == 0) \
-                if sample_rate > 1 else emb
+            # the driver-side k-means collect is UNCONDITIONALLY bounded: the
+            # effective hash-sample rate is raised until the expected sample
+            # is <= TRAIN_CAP, whatever sample_rate the caller passed — an
+            # IVFIndex(emb) on a 100 TB corpus must never collect the corpus
+            n = emb.count()
+            rate = max(sample_rate, -(-n // self.TRAIN_CAP))
+            sampled = emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(rate)) == 0) \
+                if rate > 1 else emb
             train = np.array([r[0] for r in sampled.select(vec_col).collect()], dtype=np.float64)
+            self.train_size_ = len(train)
             train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
             rng = np.random.RandomState(SEED)
             cents = train[rng.choice(len(train), size=min(n_centroids, len(train)), replace=False)]

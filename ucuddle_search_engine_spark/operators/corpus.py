@@ -100,7 +100,9 @@ def pack_documents(docs: DataFrame, budget: int, id_col: str = "doc_id",
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         bpe_token_count(text_col).alias("n_tokens"),
-        (F.col(id_col) / bucket_size).cast("long").alias("_bkt"),
+        # integer DIV, not `/`: Spark `/` on longs is DOUBLE, which loses
+        # exactness above 2^53 — cumulative token counts at 100 TB get there
+        F.expr(f"CAST({id_col} DIV {int(bucket_size)} AS LONG)").alias("_bkt"),
     )
     bkt_totals = {
         r["_bkt"]: r["s"]
@@ -124,7 +126,7 @@ def pack_documents(docs: DataFrame, budget: int, id_col: str = "doc_id",
         .select(
             "doc_id",
             "n_tokens",
-            ((F.col("_off") + F.col("_pre")) / budget).cast("long").alias("pack_id"),
+            F.expr(f"CAST((_off + _pre) DIV {int(budget)} AS LONG)").alias("pack_id"),
         )
     )
 

@@ -217,15 +217,23 @@ def ngram_jaccard_pairs(
     at 100 TB always set a cap (or verify only within LSH candidate
     clusters, operators.dedup.lsh_candidate_pairs)."""
     sh = shingles(df, id_col, text_col, shingle_n)
+    raw = None
     if max_shingle_df is not None:
+        # persist the raw shingles BEFORE deriving `hot`, or the corpus-wide
+        # shingle explode runs twice (once for the df aggregate, once to
+        # materialize the filtered set)
+        raw = sh.persist()
         hot = (
-            sh.groupBy("shingle")
+            raw.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(hot, "shingle", "left_anti")
+        sh = raw.join(hot, "shingle", "left_anti")
     sh = sh.persist()
+    if raw is not None:
+        sh.count()  # materialize the filtered cache, then drop the raw one
+        raw.unpersist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -8,12 +8,15 @@ AUTO distance (the ES rule): len 0-2 → exact only, 3-5 → 1 edit, ≥6 → 2 
 Scale posture: expansion is ONE column-pruned scan of the term dictionary
 (tstats) with a broadcast of the |q| query terms; the length-band filter
 (|len(term) − len(q)| ≤ d) prunes before the levenshtein evaluation, and both
-run JVM-side inside whole-stage codegen. At 10^9-term dictionaries add a
-first-char/prefix bucket column to the stored tstats (ES prefix_length) to cut
-the scan — the join shape stays identical. Expansions are capped per query
-term by descending df (ES max_expansions=50) BEFORE scoring, so the scoring
-fan-in is bounded; the oracle-checked driver query runs uncapped to stay
-exactly SQL-replayable.
+run JVM-side inside whole-stage codegen. With prefix_length ≥ 1 (ES
+`prefix_length` — candidates must share the query term's first chars exactly),
+the stored tstats `p1` first-char column turns the dictionary scan into a
+PUSHED parquet filter (row-group-pruned, since tstats is term-sorted within
+each tb directory) — at 10⁹-term dictionaries the scan reads only the query
+terms' first-char bands. prefix_length=0 (the ES default) keeps the full-scan
+semantics. Expansions are capped per query term by descending df (ES
+max_expansions=50) BEFORE scoring, so the scoring fan-in is bounded; the
+oracle-checked driver queries run uncapped to stay exactly SQL-replayable.
 """
 
 from __future__ import annotations
@@ -36,22 +39,35 @@ def auto_distance_col(qt) -> "F.Column":
 
 
 def expand_terms(dictionary: DataFrame, query_terms: list[str],
-                 max_expansions: int | None = MAX_EXPANSIONS) -> DataFrame:
+                 max_expansions: int | None = MAX_EXPANSIONS,
+                 prefix_length: int = 0) -> DataFrame:
     """dictionary (term[, df]) × query terms → (qterm, term, dist) expansions.
 
     Broadcast the tiny query-term side; length-band prefilter, then exact
     levenshtein ≤ AUTO(qterm). With max_expansions, keep the top-df terms per
-    qterm (requires a df column), matching ES's expansion cap."""
+    qterm (requires a df column), matching ES's expansion cap.
+
+    prefix_length ≥ 1 (ES semantics): candidates must share the query term's
+    first prefix_length characters EXACTLY (they carry no edits). The first
+    char of that band is applied as a literal isin filter BEFORE the join —
+    over a stored dictionary it reaches the parquet scan as a pushed filter."""
     spark = dictionary.sparkSession
-    q = F.broadcast(
-        spark.createDataFrame([(t,) for t in sorted(set(query_terms))], "qterm string")
+    qterms = sorted(set(query_terms))
+    q = F.broadcast(spark.createDataFrame([(t,) for t in qterms], "qterm string"))
+    dim = dictionary.select(
+        "term", *([c for c in ("df",) if c in dictionary.columns])
     )
+    if prefix_length >= 1:
+        first = sorted({t[:1] for t in qterms if t})
+        dim = dim.filter(F.substring("term", 1, 1).isin(first))
     d = auto_distance_col(F.col("qterm"))
+    cand = dim.distinct().crossJoin(q)
+    if prefix_length >= 1:
+        cand = cand.filter(
+            F.substring("term", 1, prefix_length) == F.substring("qterm", 1, prefix_length)
+        )
     cand = (
-        dictionary.select("term", *([c for c in ("df",) if c in dictionary.columns]))
-        .distinct()
-        .crossJoin(q)
-        .filter(F.abs(F.length("term") - F.length("qterm")) <= d)
+        cand.filter(F.abs(F.length("term") - F.length("qterm")) <= d)
         .withColumn("dist", F.levenshtein("term", "qterm"))
         .filter(F.col("dist") <= d)
     )
@@ -61,6 +77,19 @@ def expand_terms(dictionary: DataFrame, query_terms: list[str],
             F.col("_rk") <= max_expansions
         ).drop("_rk")
     return cand.select("qterm", "term", "dist")
+
+
+def prefix_banded_dictionary(tstats: DataFrame, query_terms: list[str],
+                             prefix_length: int = 0) -> DataFrame:
+    """(term, df=max across fields) dictionary for fuzzy expansion. With
+    prefix_length ≥ 1 over a written store's tstats (which carries the stored
+    `p1` first-char column), the band lands BEFORE the aggregation as a plain
+    In(p1, …) filter — pushed to the parquet scan and row-group-pruned by the
+    term sort (plan-asserted in tests/test_plans.py)."""
+    if prefix_length >= 1 and "p1" in tstats.columns:
+        first = sorted({t[:1] for t in set(query_terms) if t})
+        tstats = tstats.filter(F.col("p1").isin(first))
+    return tstats.groupBy("term").agg(F.max("df").alias("df"))
 
 
 def _lev_capped(a: str, b: str, cap: int) -> int:
@@ -82,18 +111,24 @@ def _lev_capped(a: str, b: str, cap: int) -> int:
 
 
 def expand_terms_py(vocab_df: dict[str, float], query_terms: list[str],
-                    max_expansions: int | None = MAX_EXPANSIONS) -> list[str]:
+                    max_expansions: int | None = MAX_EXPANSIONS,
+                    prefix_length: int = 0) -> list[str]:
     """Driver/serving-side mirror of expand_terms over an in-memory vocabulary
-    {term: df} (e.g. a prepared SegmentSearcher's term-stats cache): same AUTO
-    distances, same length-band prefilter, same df-desc/term-asc expansion cap
-    — so the serving tier's fuzzy matches the Spark path's. O(|vocab|·|q|)
-    with banded early-exit Levenshtein; for 10⁸-term vocabularies add a
-    first-char/prefix bucket exactly like the Column path's note."""
+    {term: df}: same AUTO distances, same length-band prefilter, same
+    prefix_length band, same df-desc/term-asc expansion cap — so the serving
+    tier's fuzzy matches the Spark path's. O(|vocab'|·|q|) with banded
+    early-exit Levenshtein, where vocab' is what the CALLER loaded — the
+    serving tier (scripts/serve.py) feeds this only the query terms'
+    first-char buckets when prefix_length ≥ 1, mirroring the pushed p1 scan
+    filter of the Column path."""
     out: set[str] = set()
     for qt in sorted(set(query_terms)):
         d = auto_distance(qt)
+        pre = qt[:prefix_length]
         cand = []
         for t, df_ in vocab_df.items():
+            if prefix_length >= 1 and t[:prefix_length] != pre:
+                continue
             if abs(len(t) - len(qt)) <= d and _lev_capped(t, qt, d) <= d:
                 cand.append((t, df_))
         if max_expansions is not None:
@@ -105,14 +140,20 @@ def expand_terms_py(vocab_df: dict[str, float], query_terms: list[str],
 
 def fuzzy_search(idx, query_terms: list[str], k: int = 10,
                  max_expansions: int | None = MAX_EXPANSIONS,
-                 round_dp: int | None = None) -> DataFrame:
+                 round_dp: int | None = None,
+                 prefix_length: int = 0) -> DataFrame:
     """Fuzzy OR search over an InvertedIndex OR a SegmentSearcher (both carry
     tstats + search_terms): expand each query term against the term
     dictionary, then score the distinct expanded set as a disjunctive BM25
     group (each expansion scored with its own idf — the
-    'constant_score_blended' shape ES rewrites fuzzy queries to)."""
-    dictionary = idx.tstats.groupBy("term").agg(F.max("df").alias("df"))
-    expanded = expand_terms(dictionary, query_terms, max_expansions)
+    'constant_score_blended' shape ES rewrites fuzzy queries to).
+
+    With prefix_length ≥ 1 over a WRITTEN store, the p1 column filter lands
+    before the dictionary aggregation — parquet reads only the matching
+    first-char bands (plan-asserted in tests/test_plans.py)."""
+    dictionary = prefix_banded_dictionary(idx.tstats, query_terms, prefix_length)
+    expanded = expand_terms(dictionary, query_terms, max_expansions,
+                            prefix_length=prefix_length)
     terms = sorted({r["term"] for r in expanded.select("term").distinct().collect()})
     spark = dictionary.sparkSession
     if not terms:

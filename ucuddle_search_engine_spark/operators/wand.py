@@ -564,6 +564,74 @@ class SegmentSearcher:
             self._coll = {r["field"]: (r["n_docs"], r["avgdl"]) for r in self.cstats.collect()}
         return self._coll
 
+    # -- bounded per-term dictionary cache (the no-prepare path) --------------
+    # With a tb-partitioned + term-sorted tstats store, cold terms cost one
+    # directory- and row-group-pruned read; hot terms hit this LRU. The cap
+    # bounds serving-tier memory at ANY vocabulary size (10⁹ terms never load).
+    TERM_MEMO_CAP = 200_000
+
+    def _memo_put(self, key, val) -> None:
+        memo = self._term_memo
+        memo.pop(key, None)
+        memo[key] = val  # dicts iterate in insertion order → eviction order
+        if len(memo) > self.TERM_MEMO_CAP:
+            memo.pop(next(iter(memo)))
+
+    def _memo_stats(self, terms: list[str], fields: list[int], read_rows) -> dict:
+        """(term, field) → df for the query's terms, via the LRU memo;
+        read_rows(missing_terms) resolves cold terms from the backing store
+        (Spark or pyarrow — both prune on tb before reading rows). Missing
+        terms are remembered as None so repeat misses cost nothing."""
+        memo = self._term_memo
+        missing = [t for t in terms if any((t, f) not in memo for f in fields)]
+        if missing:
+            found = {(t, int(f)): d for t, f, d in read_rows(missing)}
+            for t in missing:
+                for f in fields:
+                    self._memo_put((t, f), found.get((t, f)))
+        stats = {}
+        for t in terms:
+            for f in fields:
+                if (t, f) in memo:
+                    v = memo.pop((t, f))  # touch: re-insert at LRU tail
+                    memo[(t, f)] = v
+                    if v is not None:
+                        stats[(t, f)] = v
+        return stats
+
+    def tstats_lookup_df(self, missing: list[str], fields: list[int]) -> DataFrame:
+        """The cold-term dictionary lookup as a DataFrame: term + field
+        filters pushed to the scan, plus tb directory pruning on written
+        stores (plan-asserted in tests/test_plans.py)."""
+        q = self.tstats.filter(
+            F.col("term").isin(missing) & F.col("field").isin(fields)
+        )
+        if "tb" in self.tstats.columns:
+            from ..functions.hashing import md5_prefix_long_py
+            from ..plans.build_index import TERM_BUCKETS
+
+            buckets = sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in missing})
+            q = q.filter(F.col("tb").isin(buckets))
+        return q.select("term", "field", "df")
+
+    def _read_tstats_spark(self, missing: list[str], fields: list[int]):
+        return [(r["term"], r["field"], r["df"])
+                for r in self.tstats_lookup_df(missing, fields).collect()]
+
+    def _read_tstats_local(self, missing: list[str], fields: list[int]):
+        import pyarrow.dataset as pds
+
+        from ..functions.hashing import md5_prefix_long_py
+        from ..plans.build_index import TERM_BUCKETS
+
+        ds = pds.dataset(os.path.join(self.store_dir, "tstats"), partitioning="hive")
+        flt = pds.field("term").isin(missing) & pds.field("field").isin(sorted(fields))
+        if "tb" in ds.schema.names:
+            buckets = sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in missing})
+            flt = flt & pds.field("tb").isin(buckets)
+        tt = ds.to_table(filter=flt, columns=["term", "field", "df"])
+        return zip(tt["term"].to_pylist(), tt["field"].to_pylist(), tt["df"].to_pylist())
+
     # below this many postings per shard, the plain vectorized scan wins on
     # overhead; above it the block-max scorer's skipped decodes pay off
     # (BENCH/wand_micro.json: parity at ~0.8M, widening with size — both are
@@ -594,21 +662,8 @@ class SegmentSearcher:
                 for t in terms for f in fields if (t, f) in self._tstats_cache
             }
         else:
-            missing = [t for t in terms if any((t, f) not in self._term_memo for f in fields)]
-            if missing:
-                found = {
-                    (r["term"], r["field"]): r["df"]
-                    for r in self.tstats.filter(
-                        F.col("term").isin(missing) & F.col("field").isin(fields)
-                    ).collect()
-                }
-                for t in missing:
-                    for f in fields:
-                        self._term_memo[(t, f)] = found.get((t, f))
-            stats = {
-                (t, f): self._term_memo[(t, f)]
-                for t in terms for f in fields if self._term_memo.get((t, f)) is not None
-            }
+            stats = self._memo_stats(terms, fields,
+                                     lambda m: self._read_tstats_spark(m, fields))
         coll = self._collection()
         if mode == "and":
             # a term absent from every field can never satisfy AND
@@ -670,12 +725,22 @@ class SegmentSearcher:
         obj.cstats = None
         obj.boosts = boosts if boosts is not None else dict(DEFAULT_BOOSTS)
         obj.store_dir = store_dir
-        tt = pds.dataset(os.path.join(store_dir, "tstats")).to_table()
-        obj._tstats_cache = {
-            (t, int(f)): d
-            for t, f, d in zip(tt["term"].to_pylist(), tt["field"].to_pylist(),
-                               tt["df"].to_pylist())
-        }
+        tpath = os.path.join(store_dir, "tstats")
+        if any(e.startswith("tb=") for e in os.listdir(tpath)):
+            # vocabulary-scale layout (tb-partitioned, term-sorted): open
+            # WITHOUT materializing the dictionary — each query resolves its
+            # terms through a pruned read + the bounded LRU memo. Serving-tier
+            # RAM is O(memo cap), not O(vocabulary).
+            obj._tstats_cache = None
+        else:
+            # legacy flat layout: no pruned access path exists, so eager-load
+            # once (bounded only by the store's actual vocabulary)
+            tt = pds.dataset(tpath).to_table()
+            obj._tstats_cache = {
+                (t, int(f)): d
+                for t, f, d in zip(tt["term"].to_pylist(), tt["field"].to_pylist(),
+                                   tt["df"].to_pylist())
+            }
         with open(os.path.join(store_dir, "cstats.json")) as fh:
             obj._coll = {r["field"]: (r["n_docs"], r["avgdl"]) for r in json.load(fh)}
         ts_path = os.path.join(store_dir, "tombstones")
@@ -711,14 +776,8 @@ class SegmentSearcher:
                 for t in terms for f in fields if (t, f) in self._tstats_cache
             }
         else:
-            tt = pds.dataset(os.path.join(self.store_dir, "tstats")).to_table(
-                filter=pds.field("term").isin(terms) & pds.field("field").isin(fields)
-            )
-            stats = {
-                (t, int(f)): df_
-                for t, f, df_ in zip(tt["term"].to_pylist(), tt["field"].to_pylist(),
-                                     tt["df"].to_pylist())
-            }
+            stats = self._memo_stats(terms, fields,
+                                     lambda m: self._read_tstats_local(m, fields))
         if self._coll is None:
             with open(os.path.join(self.store_dir, "cstats.json")) as fh:
                 self._coll = {r["field"]: (r["n_docs"], r["avgdl"]) for r in json.load(fh)}

@@ -51,6 +51,32 @@ from ..operators.wand import SegmentSearcher
 TERM_BUCKETS = 64  # segment-store partition fan-out per unit (directory pruning)
 
 
+def write_tstats(tstats: DataFrame, out_dir: str) -> None:
+    """Write the term-stats dictionary in the vocabulary-scale layout:
+
+    - `tb` (md5 term bucket, same hash as the segment store) as a PARTITION
+      directory — an exact-term lookup prunes to |q| of 64 directories before
+      any row is read;
+    - rows sorted by (term, field) within each bucket — parquet row-group
+      min/max statistics prune the scan inside a directory too;
+    - `p1` (first character) as a stored column — the fuzzy-expansion prefix
+      band (ES `prefix_length`): a fuzzy query filters p1 at the scan before
+      any levenshtein is evaluated.
+
+    This is what lets a 10⁸–10⁹-term vocabulary be served without ever
+    materializing the dictionary (SegmentSearcher.open_local is lazy over this
+    layout; cold terms cost one pruned read, not a full tstats scan)."""
+    (
+        tstats.withColumn("tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int"))
+        .withColumn("p1", F.substring("term", 1, 1))
+        .repartition("tb")
+        .sortWithinPartitions("term", "field")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(os.path.join(out_dir, "tstats"))
+    )
+
+
 def _unit_col(n_units: int):
     return F.pmod(md5_prefix_long("repo"), F.lit(n_units)).cast("int")
 
@@ -252,7 +278,7 @@ def build_index_resumable(
     # post pass: global term stats from the segment store (column-pruned scan)
     segs_all = spark.read.parquet(os.path.join(out_dir, "segments"))
     tstats = segs_all.groupBy("term", "field").agg(F.sum("n").alias("df"))
-    tstats.write.mode("overwrite").parquet(os.path.join(out_dir, "tstats"))
+    write_tstats(tstats, out_dir)
     # json.dump via repr round-trips doubles exactly (pandas to_json clips at
     # 15 significant digits, which would shift avgdl — and thus recomputed
     # scores — a ULP away from the stored max_impact bounds)

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_prefix_long
 from ..operators.ids import assign_doc_ids_prefix
 from ..operators.segments import build_segments
-from .build_index import TERM_BUCKETS, _global_field_stats, load_analyzer
+from .build_index import TERM_BUCKETS, _global_field_stats, load_analyzer, write_tstats
 
 
 def decode_store_postings(segments: DataFrame) -> DataFrame:
@@ -106,10 +106,23 @@ def merge_many(spark: SparkSession, stores: list[str], out_dir: str,
     analyzer = analyzers[0]
     key = ["repo", "path"]
     docs_list = [_load_docs(spark, s) for s in stores]
-    cols = docs_list[0].columns
+    # column UNION across inputs (first-seen order), missing columns backfilled
+    # as typed nulls — so merging a newer store (e.g. with added_at) with an
+    # older one neither raises nor silently drops the newer column, whichever
+    # order the stores are listed in
+    dtypes: dict[str, str] = {}
+    for d in docs_list:
+        for c, t in d.dtypes:
+            dtypes.setdefault(c, t)
+    cols = list(dtypes)
     tagged = None
     for i, d in enumerate(docs_list):
-        t = d.select(cols).withColumn("_sidx", F.lit(i))
+        t = d.select(
+            *[
+                F.col(c) if c in d.columns else F.lit(None).cast(dtypes[c]).alias(c)
+                for c in cols
+            ]
+        ).withColumn("_sidx", F.lit(i))
         tagged = t if tagged is None else tagged.unionByName(t)
     from pyspark.sql import Window
 
@@ -160,8 +173,8 @@ def merge_many(spark: SparkSession, stores: list[str], out_dir: str,
         .parquet(os.path.join(out_dir, "segments/unit=0"))
     )
     segs_all = spark.read.parquet(os.path.join(out_dir, "segments"))
-    segs_all.groupBy("term", "field").agg(F.sum("n").alias("df")).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "tstats")
+    write_tstats(
+        segs_all.groupBy("term", "field").agg(F.sum("n").alias("df")), out_dir
     )
     with open(os.path.join(out_dir, "cstats.json"), "w") as f:
         json.dump([r.asDict() for r in cstats.collect()], f)
