@@ -1313,6 +1313,41 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def q_snowball_stems(spark, sf_dir):
+    """Snowball russian stemming over the derived Cyrillic corpus (the same
+    deterministic transliteration the routing check uses): top stem counts.
+    The reference's ES indexes stem with russian_stemmer
+    (crawler/functs_with_elastic.go:142-145); the oracle replays the FULL
+    algorithm through its DuckDB SQL rendering (functions/snowball.py), so
+    every region rule and ending table is machine-checked on corpus data."""
+    from ucuddle_search_engine_spark.functions.analyze import ANALYZERS
+
+    docs = _mixed_lang_docs(load_table(spark, sf_dir, "documents")).filter(
+        (F.col("doc_id") % CYR_DOC_MOD) == 0
+    )
+    an = ANALYZERS["ru"]
+    return (
+        docs.select(F.explode(an.tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+def _snowball_stems_sql(k: int = 50) -> str:
+    from ucuddle_search_engine_spark.functions.analyze import ANALYZERS
+
+    an = ANALYZERS["ru"]
+    return f"""
+WITH docs_src AS ({_MIXED_DOCS_SQL}),
+ru AS (SELECT text FROM docs_src WHERE doc_id % {CYR_DOC_MOD} = 0),
+toks AS (SELECT unnest({an.tokens_sql('text')}) AS term FROM ru)
+SELECT term, count(*) AS n FROM toks
+GROUP BY term ORDER BY n DESC, term ASC LIMIT {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_and": q_bm25_topk_and,
@@ -1356,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_lineitem": q_pivot_lineitem,
         "lang_routed_search": q_lang_routed_search,
         "lang_routed_search_cyrillic": q_lang_routed_search_cyrillic,
+        "snowball_stems": q_snowball_stems,
         "fuzzy_match": q_fuzzy_match,
         "fuzzy_match_prefix": q_fuzzy_match_prefix,
         "paged_search": q_paged_search,
@@ -1373,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_routed_search": _lang_routed_sql(),
         "lang_routed_search_cyrillic": _lang_routed_sql(
             lang="ru", query=CYRILLIC_QUERY, docs_sql=_MIXED_DOCS_SQL),
+        "snowball_stems": _snowball_stems_sql(),
         "fuzzy_match": _fuzzy_sql(),
         "fuzzy_match_prefix": _fuzzy_sql(prefix_length=1),
         "paged_search": _paged_sql(),

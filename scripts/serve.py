@@ -47,6 +47,7 @@ def _load_analyzer_py(store_dir: str):
         stopwords=tuple(cfg["stopwords"]),
         stem_rules=tuple((s, r) for s, r in cfg["stem_rules"]),
         min_stem=cfg["min_stem"],
+        snowball=cfg.get("snowball"),  # absent in pre-snowball stores → None
     )
 
 

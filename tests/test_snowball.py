@@ -1,0 +1,144 @@
+"""Snowball stemmer (functions/snowball.py): golden vectors hand-traced from
+the published russian algorithm, strict three-form parity (Python / Column /
+DuckDB SQL) on adversarial and random Cyrillic input, and the analyzer.json
+round-trip that pins search_analyzer == index analyzer for snowball stores
+(the reference's ES russian_stemmer / ukrainian analyzer,
+crawler/functs_with_elastic.go:142-145, 71-76)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ucuddle_search_engine_spark.functions.analyze import ANALYZERS, Analyzer
+from ucuddle_search_engine_spark.functions.snowball import (
+    SNOWBALL_LANGS,
+    snowball_stem_col,
+    snowball_stem_py,
+    snowball_stem_sql,
+)
+
+# hand-traced through the published algorithm: regions on the ё-folded word,
+# longest-of ending per step, R2 gate on ость/ост, нн-undouble/superlative/ь
+RU_GOLDEN = {
+    "книги": "книг",
+    "проектах": "проект",
+    "компании": "компан",
+    "важность": "важност",   # ость fails the R2 gate; ь drops in step 4
+    "важности": "важност",
+    "важная": "важн",
+    "статьи": "стат",
+    "читала": "чита",        # verb ла preceded by а — the а survives
+    "быстрее": "быстр",
+    "улыбаться": "улыба",    # reflexive ся, then verb ать keeps the а
+    "окно": "окн",
+    "системе": "систем",
+    "отношение": "отношен",
+    "вагонов": "вагон",
+    "вагоне": "вагон",
+    "авиация": "авиац",
+    "шёл": "шел",            # ё folds to е before anything else
+    "и": "и",                # RV empty → untouched
+    "ттт": "ттт",            # no vowel → no RV → untouched
+    "нежнейший": "нежн",     # adjective ий, then superlative ейш in step 4
+    "пересказанный": "пересказа",  # adjectival: ый then participle анн (а kept)
+    "остановившись": "останов",    # perfective gerund ившись
+}
+
+
+def test_ru_snowball_golden():
+    st = snowball_stem_py("ru")
+    for raw, want in RU_GOLDEN.items():
+        assert st(raw) == want, f"{raw!r}: want {want!r}, got {st(raw)!r}"
+
+
+def test_uk_snowball_basics():
+    st = snowball_stem_py("uk")
+    # inflected forms of one lemma collapse (self-consistency is the property
+    # recall depends on; there is no official Snowball ukrainian to pin to)
+    assert st("книги") == st("книга") == st("книгами")
+    assert st("компанії") == st("компанія")
+    assert st("читають") == st("читала")
+    assert st("ттт") == "ттт"
+
+
+_CYRILLIC = "абвгдежзийклмнопрстуфхцчшщъыьэюяё"
+_CYR_UK = "абвгґдежзиіїйклмнопрстуфхцчшщьєюя"
+
+
+def _random_words(alphabet: str, n: int = 400, seed: int = 7) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        ln = rng.randint(1, 14)
+        out.append("".join(rng.choice(alphabet) for _ in range(ln)))
+    return out
+
+
+@pytest.mark.parametrize("lang", SNOWBALL_LANGS)
+def test_three_form_parity(spark, lang):
+    """stem_py == stem_col == stem_sql on golden, inflected, and random
+    words — the structural guarantee the oracle gate rests on."""
+    words = sorted(set(
+        list(RU_GOLDEN) +
+        ["улыбавшийся", "зеленоватыми", "программирование", "печатающий",
+         "деревья", "ночью", "семья", "большинство", "связанный", "жизнь",
+         "людьми", "годами", "ею", "я", "ь", "нн", "окнами",
+         "столі", "статті", "проєкти", "вікно", "знання", "читають",
+         "зробивши", "найкращі", "українською", "мовою", "вчитися", "ґрунті"] +
+        _random_words(_CYRILLIC if lang == "ru" else _CYR_UK)
+    ))
+    py = snowball_stem_py(lang)
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    col = {r["w"]: r["s"] for r in
+           df.select("w", snowball_stem_col(lang, F.col("w")).alias("s")).collect()}
+    con = duckdb.connect()
+    sql = dict(con.execute(
+        f"SELECT w, {snowball_stem_sql(lang, 'w')} FROM (SELECT unnest(?) AS w)",
+        [words],
+    ).fetchall())
+    for w in words:
+        want = py(w)
+        assert col[w] == want, f"Column mismatch {lang} {w!r}: {col[w]!r} != {want!r}"
+        assert sql[w] == want, f"SQL mismatch {lang} {w!r}: {sql[w]!r} != {want!r}"
+
+
+def test_snowball_analyzer_presets_and_roundtrip(spark, tmp_path_factory):
+    """ru/uk presets stem with Snowball; a store built with the ru analyzer
+    persists snowball in analyzer.json and loads back EQUAL (the
+    search_analyzer == index analyzer pin), while pre-snowball stores load
+    with snowball=None."""
+    an = ANALYZERS["ru"]
+    assert an.snowball == "ru" and an.stem_py("книги") == "книг"
+    assert ANALYZERS["ru_light"].snowball is None  # light preset still there
+    assert an.analyze_py("и книги на проектах") == ["книг", "проект"]
+
+    from ucuddle_search_engine_spark.plans.build_index import (
+        build_index_resumable,
+        load_analyzer,
+    )
+
+    corpus = spark.createDataFrame(
+        [("r0", f"d/{i}.txt", "c", "ru", t) for i, t in enumerate(
+            ["и книги о проектах компании", "статьи про окно и системы",
+             "читала быстрее важная статья"] * 3)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = str(tmp_path_factory.mktemp("snow_store"))
+    build_index_resumable(spark, corpus, out, n_units=1, analyzer=an)
+    assert load_analyzer(out) == an
+
+    # query side stems identically through the serving loader too
+    import os
+    import sys
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    sys.path.insert(0, scripts)
+    try:
+        from serve import _load_analyzer_py
+    finally:
+        sys.path.remove(scripts)
+    assert _load_analyzer_py(out).analyze_py("книги компании") == ["книг", "компан"]

@@ -58,15 +58,28 @@ class Analyzer:
     stem rules are (suffix, replacement) pairs tried in order ‚Äî the FIRST
     matching suffix with len(token) - len(suffix) >= min_stem applies (an
     identity pair like ('ss','ss') blocks later shorter rules, Porter-style).
-    Defaults = the identity analyzer (current oracle-query behavior)."""
+    Defaults = the identity analyzer (current oracle-query behavior).
+
+    snowball: language code ('ru'/'uk') switches stemming to the full
+    Snowball algorithm (functions/snowball.py ‚Äî the published russian
+    algorithm; a rule-based ukrainian adaptation), matching the reference's
+    ES russian_stemmer / ukrainian analyzer
+    (crawler/functs_with_elastic.go:142-145, 71-76). When set, stem_rules /
+    min_stem are ignored; all four execution forms (Python, Column, Arrow
+    UDF, DuckDB SQL) route to the same snowball tables."""
 
     token_pattern: str = TOKEN_PATTERN
     stopwords: tuple[str, ...] = ()
     stem_rules: tuple[tuple[str, str], ...] = ()
     min_stem: int = 3
+    snowball: str | None = None
 
     # -- Python form (query side + Arrow UDF body) --------------------------
     def stem_py(self, tok: str) -> str:
+        if self.snowball:
+            from .snowball import snowball_stem_py
+
+            return snowball_stem_py(self.snowball)(tok)
         for suf, rep in self.stem_rules:
             if tok.endswith(suf) and len(tok) - len(suf) >= self.min_stem:
                 return tok[: len(tok) - len(suf)] + rep
@@ -79,6 +92,10 @@ class Analyzer:
 
     # -- Column form (index build + exact-BM25 hot path) ---------------------
     def stem_col(self, tok: Column) -> Column:
+        if self.snowball:
+            from .snowball import snowball_stem_col
+
+            return snowball_stem_col(self.snowball, tok)
         out = tok
         for suf, rep in reversed(self.stem_rules):
             cond = tok.endswith(suf) & (F.length(tok) - len(suf) >= self.min_stem)
@@ -91,12 +108,16 @@ class Analyzer:
         toks = F.regexp_extract_all(F.lower(c), F.lit(self.token_pattern), 0)
         if self.stopwords:
             toks = F.filter(toks, lambda t: ~t.isin(*self.stopwords))
-        if self.stem_rules:
+        if self.stem_rules or self.snowball:
             toks = F.transform(toks, self.stem_col)
         return toks
 
     # -- SQL form (DuckDB oracle rendering) ----------------------------------
     def stem_sql(self, var: str = "t") -> str:
+        if self.snowball:
+            from .snowball import snowball_stem_sql
+
+            return snowball_stem_sql(self.snowball, var)
         if not self.stem_rules:
             return var
         expr = var
@@ -113,7 +134,7 @@ class Analyzer:
         if self.stopwords:
             arr = ", ".join(f"'{w}'" for w in self.stopwords)
             toks = f"list_filter({toks}, t -> NOT list_contains([{arr}], t))"
-        if self.stem_rules:
+        if self.stem_rules or self.snowball:
             toks = f"list_transform({toks}, t -> {self.stem_sql('t')})"
         return toks
 
@@ -146,10 +167,15 @@ _RU_STOP = ("–∏", "–≤", "–≤–æ", "–Ω–µ", "—á—Ç–æ", "–æ–Ω", "–Ω–∞", "—è", "—Å", "—
 _UK_STOP = ("—ñ", "–≤", "–Ω–µ", "–Ω–∞", "—è", "–∑", "—â–æ", "–¥–æ", "—Ü–µ", "—è–∫", "–º–∏",
             "–∑–∞", "–∞–ª–µ", "–≤—ñ–¥", "—Ç–∞–∫", "–π–æ–≥–æ", "—É", "—Ç–∞", "–ø–æ", "–∞–±–æ")
 
+# ru/uk default to the full Snowball algorithm (the reference's ES
+# russian_stemmer / ukrainian analyzer fidelity); the light strip-suffix
+# variants stay available as *_light presets.
 ANALYZERS: dict[str, Analyzer] = {
     "en": Analyzer(TOKEN_PATTERN, _EN_STOP, _EN_STEM),
-    "ru": Analyzer(TOKEN_PATTERN_CYRILLIC, _RU_STOP, _RU_STEM),
-    "uk": Analyzer(TOKEN_PATTERN_CYRILLIC, _UK_STOP, _UK_STEM),
+    "ru": Analyzer(TOKEN_PATTERN_CYRILLIC, _RU_STOP, snowball="ru"),
+    "uk": Analyzer(TOKEN_PATTERN_CYRILLIC, _UK_STOP, snowball="uk"),
+    "ru_light": Analyzer(TOKEN_PATTERN_CYRILLIC, _RU_STOP, _RU_STEM),
+    "uk_light": Analyzer(TOKEN_PATTERN_CYRILLIC, _UK_STOP, _UK_STEM),
 }
 
 

@@ -333,6 +333,7 @@ def load_analyzer(out_dir: str):
         stopwords=tuple(cfg["stopwords"]),
         stem_rules=tuple((s, r) for s, r in cfg["stem_rules"]),
         min_stem=cfg["min_stem"],
+        snowball=cfg.get("snowball"),  # absent in pre-snowball stores → None
     )
 
 
