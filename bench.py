@@ -6,6 +6,14 @@ Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
    "queries": {name: sec, ...}, "sf": ...,
    "index_docs_per_sec": ..., "bm25_p95_ms": ...}
 
+Measurement protocol (round 4): every headline query runs N_TRIALS (>=3)
+times; `queries` reports the PER-QUERY MEDIAN, `spread` the [min, max], and
+`value` the sum of medians — a single noisy trial on a shared VM can no
+longer move the headline 1.45x (the round-3 lesson). The serving store is
+(re)built BEFORE any timing starts, so store construction never leaks into a
+timed query. The headline set itself is unchanged since round 1, so totals
+stay comparable across rounds.
+
 Headline set: index build (docs → postings → compressed segments, forced),
 BM25 exact top-k, WAND top-k over segments, MinHash-LSH dedup, ANN cosine
 top-k, PageRank(5 iter) on the event graph, and the relational operator
@@ -17,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -37,68 +46,106 @@ from ucuddle_search_engine_spark.sources.testdata import load_table  # noqa: E40
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
 
 
-def timed(fn):
-    t0 = time.time()
-    fn()
-    return time.time() - t0
+def trials_of(fn, n: int = N_TRIALS) -> list[float]:
+    out = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        out.append(time.time() - t0)
+    return out
 
 
 def main() -> None:
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=int(CPUS))
     queries: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+
+    def record(name: str, ts: list[float]) -> None:
+        queries[name] = statistics.median(ts)
+        spread[name] = [min(ts), max(ts)]
 
     documents = load_table(spark, SF_DIR, "documents").cache()
     n_docs = documents.count()
 
+    # 0. pre-build the serving store OUTSIDE any timed section (first run per
+    #    sf only; later runs find it cached on disk)
+    sf_tag = SF_DIR.rstrip("/").split("sf")[-1]
+    store = f"/root/repo/.data/bench_store_sf{sf_tag}"
+    store_ready = True
+    if not os.path.exists(os.path.join(store, "cstats.json")):
+        try:
+            from ucuddle_search_engine_spark.plans.build_index import build_index_resumable
+
+            corpus = documents.select(
+                F.concat(F.lit("bench"), (F.col("doc_id") % 8).cast("string")).alias("repo"),
+                F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+                F.md5(F.col("text")).alias("commit"),
+                F.col("lang"),
+                F.col("text").alias("content"),
+            )
+            build_index_resumable(spark, corpus, store, n_units=2, num_shards=3)
+        except Exception:
+            store_ready = False
+
     # 1. index build throughput: docs -> per-doc termvectors -> one combined
-    #    shuffle -> compressed segments (forced via cache+count)
+    #    shuffle -> compressed segments (forced). Each trial is a full
+    #    recompute; the last trial's segments stay cached for the searcher.
     from ucuddle_search_engine_spark.operators.postings import build_postings_fast
 
-    t0 = time.time()
-    idx = InvertedIndex.from_documents_table(documents)
-    fast_postings = build_postings_fast(idx.docs, fields={0: "content"})
-    segments = build_segments(fast_postings, None, idx.cstats, num_shards=3).cache()
-    segments.count()
-    build_s = time.time() - t0
-    queries["index_build"] = build_s
-    index_docs_per_sec = n_docs / build_s
+    build_ts = []
+    segments = idx = None
+    for _ in range(N_TRIALS):
+        if segments is not None:
+            segments.unpersist()
+        t0 = time.time()
+        # the whole pipeline is inside the trial (incl. docs prep + collection
+        # stats), matching what rounds 1-3 timed as index_build
+        idx = InvertedIndex.from_documents_table(documents)
+        fast_postings = build_postings_fast(idx.docs, fields={0: "content"})
+        segments = build_segments(fast_postings, None, idx.cstats, num_shards=3).cache()
+        segments.count()
+        build_ts.append(time.time() - t0)
+    record("index_build", build_ts)
+    index_docs_per_sec = n_docs / queries["index_build"]
 
     idx.persist()
     searcher = SegmentSearcher(segments, idx.tstats, idx.cstats, boosts=idx.boosts).prepare()
 
-    # 2. query latency: exact Column-expression BM25 and the segment path
+    # 2. query latency: exact Column-expression BM25 and the segment path.
+    #    Each trial = the 4-query set; per-query latencies also feed p95.
     qset = [(["merge", "spark", "window"], "and"), (["customer", "stream"], "or"),
             (["table"], "or"), (["batch", "group", "order"], "and")]
-    lat = []
-    for _ in range(3):
-        for terms, mode in qset:
-            t0 = time.time()
-            idx.search_terms(terms, k=10, mode=mode).collect()
-            lat.append(time.time() - t0)
-    lat.sort()
-    queries["bm25_exact_topk"] = sum(lat) / len(lat)
 
-    wlat = []
-    for _ in range(3):
+    def run_set(s):
+        lat = []
         for terms, mode in qset:
             t0 = time.time()
-            searcher.search_terms(terms, k=10, mode=mode).collect()
-            wlat.append(time.time() - t0)
-    wlat.sort()
-    bm25_p95 = wlat[int(len(wlat) * 0.95) - 1] * 1000  # segment path = the engine's query path
-    queries["bm25_wand_topk"] = sum(wlat) / len(wlat)
+            s.search_terms(terms, k=10, mode=mode).collect()
+            lat.append(time.time() - t0)
+        return lat
+
+    exact_lat = [run_set(idx) for _ in range(N_TRIALS)]
+    record("bm25_exact_topk", [sum(r) / len(r) for r in exact_lat])
+
+    wand_lat = [run_set(searcher) for _ in range(N_TRIALS)]
+    record("bm25_wand_topk", [sum(r) / len(r) for r in wand_lat])
+    flat = sorted(t for r in wand_lat for t in r)
+    bm25_p95 = flat[int(len(flat) * 0.95) - 1] * 1000  # segment path = the engine's query path
 
     # 3. training-data pipeline ops
     # production fast path: 64-bit xxhash64 signatures (8-byte shuffle keys);
     # the md5 hex-string variant stays the oracle-checked driver query
-    queries["dedup_minhash_lsh"] = timed(
+    record("dedup_minhash_lsh", trials_of(
         lambda: lsh_candidate_pairs(documents, hash_kind="xx64").count()
-    )
+    ))
     emb = load_table(spark, SF_DIR, "embeddings").cache()
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    queries["ann_cosine_topk"] = timed(lambda: cosine_topk_bruteforce(emb, list(qvec), k=10).collect())
+    record("ann_cosine_topk", trials_of(
+        lambda: cosine_topk_bruteforce(emb, list(qvec), k=10).collect()
+    ))
 
     # 4. PageRank (5 iterations) over a synthetic follow graph from events
     events = load_table(spark, SF_DIR, "events")
@@ -111,54 +158,44 @@ def main() -> None:
         .dropDuplicates()
     )
     ids = spark.range(500).select(F.col("id").alias("doc_id"))
-    queries["pagerank_5iter"] = timed(lambda: pagerank(edges, ids, iterations=5).agg(F.sum("pagerank")).collect())
+    record("pagerank_5iter", trials_of(
+        lambda: pagerank(edges, ids, iterations=5).agg(F.sum("pagerank")).collect()
+    ))
 
     # 5. relational operator queries from the driver contract
     for name in ["agg_pricing_summary", "join_nation_revenue", "topk_orders", "window_latest_event"]:
         fn = entrymod.queries()[name]
-        queries[name] = timed(lambda fn=fn: fn(spark, SF_DIR).collect())
+        record(name, trials_of(lambda fn=fn: fn(spark, SF_DIR).collect()))
 
     # 6. serving-tier latency (search_local: pyarrow read + numpy scorers, no
-    #    Spark job) over a written store — cached across runs; reported as its
-    #    own fields, NOT added to the headline total (the headline set is
-    #    unchanged since round 1 so totals stay comparable across rounds)
+    #    Spark job) over the pre-built store — reported as its own fields,
+    #    NOT added to the headline total
     serve_p50 = serve_p95 = None
-    try:
-        from ucuddle_search_engine_spark.operators.wand import SegmentSearcher as _SS
-        from ucuddle_search_engine_spark.plans.build_index import build_index_resumable
-
-        sf_tag = SF_DIR.rstrip("/").split("sf")[-1]
-        store = f"/root/repo/.data/bench_store_sf{sf_tag}"
-        if not os.path.exists(os.path.join(store, "cstats.json")):
-            corpus = documents.select(
-                F.concat(F.lit("bench"), (F.col("doc_id") % 8).cast("string")).alias("repo"),
-                F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
-                F.md5(F.col("text")).alias("commit"),
-                F.col("lang"),
-                F.col("text").alias("content"),
-            )
-            build_index_resumable(spark, corpus, store, n_units=2, num_shards=3)
-        local = _SS.open_local(store)
-        slat = []
-        for _ in range(3):
-            for terms, mode in qset:
-                t0 = time.time()
-                local.search_local(terms, k=10, mode=mode)
-                slat.append(time.time() - t0)
-        slat.sort()
-        serve_p50 = round(slat[len(slat) // 2] * 1000, 1)
-        serve_p95 = round(slat[int(len(slat) * 0.95) - 1] * 1000, 1)
-    except Exception:
-        pass  # serving metrics are additive; never fail the suite for them
+    if store_ready:
+        try:
+            local = SegmentSearcher.open_local(store)
+            slat = []
+            for _ in range(max(3, N_TRIALS)):
+                for terms, mode in qset:
+                    t0 = time.time()
+                    local.search_local(terms, k=10, mode=mode)
+                    slat.append(time.time() - t0)
+            slat.sort()
+            serve_p50 = round(slat[len(slat) // 2] * 1000, 1)
+            serve_p95 = round(slat[int(len(slat) * 0.95) - 1] * 1000, 1)
+        except Exception:
+            pass  # serving metrics are additive; never fail the suite for them
 
     total = sum(queries.values())
     print(
         json.dumps(
             {
-                "metric": "headline suite wall time (index build + BM25/WAND top-k + dedup + ANN + PageRank + relational)",
+                "metric": "headline suite wall time (index build + BM25/WAND top-k + dedup + ANN + PageRank + relational; median of trials per query)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in queries.items()},
+                "trials": N_TRIALS,
+                "spread": {k: [round(v[0], 3), round(v[1], 3)] for k, v in spread.items()},
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "n_docs": n_docs,
                 "index_docs_per_sec": round(index_docs_per_sec, 1),

@@ -93,6 +93,33 @@ def main() -> None:
     out["serve_p50_ms"] = round(llats[len(llats) // 2] * 1000, 1)
     out["serve_p95_ms"] = round(llats[int(len(llats) * 0.95) - 1] * 1000, 1)
 
+    # round-4 lazy serving tier: open_local WITHOUT materializing the term
+    # dictionary (tb-partitioned tstats + LRU memo) — the path a 10⁹-term
+    # store must use. Cold = pruned dictionary read + scoring; warm = memo.
+    from ucuddle_search_engine_spark.operators.wand import SegmentSearcher
+
+    lazy = SegmentSearcher.open_local(STORE)
+    if lazy._tstats_cache is None:  # store written with the round-4 layout
+        zlats = []
+        zcold = None
+        for rep in range(3):
+            for terms, mode in QUERIES:
+                t0 = time.time()
+                got = lazy.search_local(terms, k=10, mode=mode)
+                dt = time.time() - t0
+                if zcold is None:
+                    zcold = dt
+                else:
+                    zlats.append(dt)
+                if rep == 0:
+                    want = [(d, round(s, 9)) for d, s in
+                            searcher.search_local(terms, k=10, mode=mode)]
+                    assert [(d, round(s, 9)) for d, s in got] == want, (terms, mode)
+        zlats.sort()
+        out["lazy_serve_cold_ms"] = round(zcold * 1000, 1)
+        out["lazy_serve_p50_ms"] = round(zlats[len(zlats) // 2] * 1000, 1)
+        out["lazy_serve_p95_ms"] = round(zlats[int(len(zlats) * 0.95) - 1] * 1000, 1)
+
     with open("/root/repo/BENCH/million.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
