@@ -102,7 +102,7 @@ class SearchApp:
         read, cached across requests."""
         import pyarrow.dataset as pds
 
-        ds = pds.dataset(os.path.join(self.store_dir, "tstats"), partitioning="hive")
+        ds = self.searcher._dataset("tstats")  # memoized handle, reset on reopen
         has_p1 = "p1" in ds.schema.names
 
         def merge_rows(tt) -> dict[str, float]:
@@ -215,13 +215,31 @@ class RoutedSearchApp:
     same stopword vote the doc side used to build the stores."""
 
     def __init__(self, root_dir: str):
-        with open(os.path.join(root_dir, "routing.json")) as f:
+        self.root_dir = root_dir
+        self._open()
+
+    def _open(self) -> None:
+        path = os.path.join(self.root_dir, "routing.json")
+        with open(path) as f:
             self.langs = json.load(f)["langs"]
+        self._routing_mtime = os.stat(path).st_mtime_ns
         self.apps = {
-            lang: SearchApp(os.path.join(root_dir, f"lang={lang}")) for lang in self.langs
+            lang: SearchApp(os.path.join(self.root_dir, f"lang={lang}"))
+            for lang in self.langs
         }
 
+    def _maybe_reload(self) -> None:
+        # per-language stores reload themselves (SearchApp._maybe_reload);
+        # this catches routing.json itself changing (a language added/removed)
+        try:
+            if os.stat(os.path.join(self.root_dir, "routing.json")).st_mtime_ns \
+                    != self._routing_mtime:
+                self._open()
+        except FileNotFoundError:
+            pass
+
     def search(self, q: str, k: int = 10, mode: str = "or", **kw) -> list[dict]:
+        self._maybe_reload()
         from ucuddle_search_engine_spark.operators.routing import detect_lang
 
         lang = detect_lang(q)

@@ -547,6 +547,7 @@ class SegmentSearcher:
         # per-term memo for the no-prepare() path: repeat queries never
         # re-read the tstats parquet; missing terms are remembered too
         self._term_memo: dict[tuple[str, int], float | None] = {}
+        self._pds: dict[str, object] = {}
 
     def prepare(self) -> "SegmentSearcher":
         """Collect the term-stats dictionary once (one job) so every query
@@ -624,7 +625,7 @@ class SegmentSearcher:
         from ..functions.hashing import md5_prefix_long_py
         from ..plans.build_index import TERM_BUCKETS
 
-        ds = pds.dataset(os.path.join(self.store_dir, "tstats"), partitioning="hive")
+        ds = self._dataset("tstats")
         flt = pds.field("term").isin(missing) & pds.field("field").isin(sorted(fields))
         if "tb" in ds.schema.names:
             buckets = sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in missing})
@@ -749,7 +750,22 @@ class SegmentSearcher:
             if os.path.isdir(ts_path) else []
         )
         obj._term_memo = {}
+        obj._pds = {}
         return obj
+
+    def _dataset(self, rel: str):
+        """Memoized pyarrow dataset handle for <store>/<rel> — discovery
+        (file listing + partition inference) costs ~10 ms on a 256-file store
+        and would otherwise be paid on EVERY serving query. The serving tier
+        reopens the searcher on a store-generation change (scripts/serve.py),
+        so a cached handle can never go stale."""
+        import pyarrow.dataset as pds
+
+        if rel not in self._pds:
+            self._pds[rel] = pds.dataset(
+                os.path.join(self.store_dir, rel), partitioning="hive"
+            )
+        return self._pds[rel]
 
     def search_local(self, terms: list[str], k: int = 20, mode: str = "and",
                      algorithm: str = "auto", offset: int = 0,
@@ -795,8 +811,7 @@ class SegmentSearcher:
 
         buckets = sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in terms})
         flt = pds.field("term").isin(terms) & pds.field("field").isin(fields)
-        segs_dir = os.path.join(self.store_dir, "segments")
-        data = pds.dataset(segs_dir, partitioning="hive")
+        data = self._dataset("segments")
         if "tb" in data.schema.names:
             flt = flt & pds.field("tb").isin(buckets)
         pdf = data.to_table(filter=flt).to_pandas()
