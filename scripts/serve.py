@@ -179,12 +179,20 @@ class SearchApp:
             # sidecar read is a term+id-filtered pushdown scan, never the corpus
             from ucuddle_search_engine_spark.operators.highlight import _snippet
 
-            pt = pds.dataset(os.path.join(self.store_dir, "postings"),
-                             partitioning="hive").to_table(
-                filter=(pds.field("term").isin(terms) & pds.field("doc_id").isin(ids)
-                        & (pds.field("field") == 0)),
-                columns=["doc_id", "positions"],
-            )
+            pt_ds = pds.dataset(os.path.join(self.store_dir, "postings"),
+                                partitioning="hive")
+            flt = (pds.field("term").isin(terms) & pds.field("doc_id").isin(ids)
+                   & (pds.field("field") == 0))
+            if "tb" in pt_ds.schema.names:
+                # round-4 sidecars carry the term-bucket partition — prune to
+                # |q| of 64 directories before any footer is read
+                from ucuddle_search_engine_spark.functions.hashing import md5_prefix_long_py
+                from ucuddle_search_engine_spark.plans.build_index import TERM_BUCKETS
+
+                flt = flt & pds.field("tb").isin(
+                    sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in terms})
+                )
+            pt = pt_ds.to_table(filter=flt, columns=["doc_id", "positions"])
             pos: dict[int, list[int]] = {}
             for row in pt.to_pylist():
                 pos.setdefault(row["doc_id"], []).extend(row["positions"])

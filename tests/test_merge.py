@@ -197,3 +197,29 @@ def test_merge_aligns_mismatched_doc_columns(spark, tmp_path_factory):
     # with the NEWER store rightmost (it wins the 80 overlaps), its stamps
     # survive the merge; only the 40 old-store-only docs are null
     assert n_set == 80 and n_null == 40
+
+
+def test_merge_carries_positional_sidecar(spark, tmp_path_factory):
+    """When every input store has the positions sidecar, the merged store
+    keeps it (remapped to the fresh ids) — phrase search over the merged
+    store equals phrase search over a fresh build of the union corpus."""
+    from ucuddle_search_engine_spark.plans.build_index import phrase_search_written
+
+    big = synth_corpus(spark, 180, partitions=4).cache()
+    small = big.limit(0).unionByName(synth_corpus(spark, 120, partitions=4))
+    dir_a = str(tmp_path_factory.mktemp("pos_a"))
+    dir_b = str(tmp_path_factory.mktemp("pos_b"))
+    out = str(tmp_path_factory.mktemp("pos_m"))
+    fresh = str(tmp_path_factory.mktemp("pos_f"))
+    build_index_resumable(spark, small, dir_a, n_units=2, write_postings=True)
+    build_index_resumable(spark, big, dir_b, n_units=2, write_postings=True)
+    build_index_resumable(spark, big, fresh, n_units=2, write_postings=True)
+
+    merge_stores(spark, dir_a, dir_b, out)
+    assert os.path.isdir(os.path.join(out, "postings"))
+    phrase = ["t0", "t1"]  # adjacent in hundreds of synth docs
+    got = [(r["doc_id"], round(r["score"], 6)) for r in
+           phrase_search_written(spark, out, phrase, k=10).collect()]
+    want = [(r["doc_id"], round(r["score"], 6)) for r in
+            phrase_search_written(spark, fresh, phrase, k=10).collect()]
+    assert got == want and got

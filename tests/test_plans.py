@@ -103,8 +103,20 @@ def written_store(spark, tmp_path_factory):
 
     out = str(tmp_path_factory.mktemp("idx_layout"))
     corpus = synth_corpus(spark, 300, partitions=4)
-    build_index_resumable(spark, corpus, out, n_units=2, num_shards=3)
+    build_index_resumable(spark, corpus, out, n_units=2, num_shards=3,
+                          write_postings=True)
     return out
+
+
+def test_postings_sidecar_lookup_prunes(spark, written_store):
+    """Highlight/phrase sidecar reads carry the same tb directory pruning as
+    segments/tstats — a positions lookup never footer-scans the sidecar."""
+    from ucuddle_search_engine_spark.plans.build_index import read_postings_sidecar
+
+    plan = _plan(read_postings_sidecar(spark, written_store, ["t5", "t40"]))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "tb#" in ln]
+    assert pf, plan[:1500]
+    assert "In(term" in plan, plan[:1500]
 
 
 def test_tstats_lookup_prunes(spark, written_store):

@@ -249,10 +249,19 @@ def build_index_resumable(
         if write_postings:
             # positional postings sidecar (Lucene's .pos analogue): lets a
             # written index serve highlight (C7) and phrase queries without
-            # re-reading the corpus
-            postings_u.repartition("term").sortWithinPartitions("term", "doc_id").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(out_dir, f"postings/unit={pid}"))
+            # re-reading the corpus. Same tb layout as segments/tstats: a
+            # phrase/highlight lookup prunes to |q| of 64 directories and
+            # term-sorted row groups instead of footer-scanning every file.
+            (
+                postings_u.withColumn(
+                    "tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int")
+                )
+                .repartition("tb")
+                .sortWithinPartitions("term", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("tb")
+                .parquet(os.path.join(out_dir, f"postings/unit={pid}"))
+            )
         n_docs = docs_u.count()
         # an empty unit (units hash by repo — a skewed/singleton repo set can
         # starve one) writes only a _SUCCESS marker; don't read it back
@@ -299,6 +308,22 @@ def build_index_resumable(
     return stats
 
 
+def read_postings_sidecar(spark: SparkSession, out_dir: str, terms) -> DataFrame:
+    """Positional-sidecar scan pruned to the query's terms: tb directory
+    pruning (stores written since round 4) + pushed term filter over the
+    term-sorted row groups. Legacy flat sidecars fall back to the pushed
+    filter alone."""
+    post = spark.read.parquet(os.path.join(out_dir, "postings")).filter(
+        F.col("term").isin(list(terms))
+    )
+    if "tb" in post.columns:
+        from ..functions.hashing import md5_prefix_long_py
+
+        buckets = sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in terms})
+        post = post.filter(F.col("tb").isin(buckets))
+    return post
+
+
 def phrase_search_written(spark: SparkSession, out_dir: str, phrase: list[str],
                           k: int = 10, field: int = 0) -> DataFrame:
     """Quoted-phrase top-k over a WRITTEN store (requires the positional
@@ -310,7 +335,7 @@ def phrase_search_written(spark: SparkSession, out_dir: str, phrase: list[str],
     with the store's analyzer (load_analyzer)."""
     from ..operators.phrase import phrase_search
 
-    post = spark.read.parquet(os.path.join(out_dir, "postings"))
+    post = read_postings_sidecar(spark, out_dir, phrase)
     docs = spark.read.parquet(os.path.join(out_dir, "docs"))
     dstats = docs.select("doc_id", F.lit(field).alias("field"), "doclen")
     with open(os.path.join(out_dir, "cstats.json")) as f:
@@ -365,7 +390,7 @@ def search_written(spark: SparkSession, out_dir: str, query: str, k: int = 10,
     if not os.path.isdir(postings_path):
         raise FileNotFoundError("store was built without write_postings=True (no positions sidecar)")
     docs = spark.read.parquet(os.path.join(out_dir, "docs"))
-    postings = spark.read.parquet(postings_path)
+    postings = read_postings_sidecar(spark, out_dir, terms)
     lit_topk = spark.createDataFrame(hits)
     return highlight_hits(lit_topk, docs, postings, terms)
 

@@ -172,6 +172,35 @@ def merge_many(spark: SparkSession, stores: list[str], out_dir: str,
         .partitionBy("tb")
         .parquet(os.path.join(out_dir, "segments/unit=0"))
     )
+    # carry the positional sidecar through the merge when every input has one
+    # (Lucene merges keep .pos): remap surviving docs' position rows to the
+    # fresh ids and rewrite in the tb layout — highlight/phrase keep working
+    # on the merged store without re-tokenizing anything
+    if all(os.path.isdir(os.path.join(s, "postings")) for s in stores):
+        pparts = []
+        for i, store in enumerate(stores):
+            p = spark.read.parquet(os.path.join(store, "postings"))
+            m = mapping(i)
+            pparts.append(
+                p.join(m, p["doc_id"] == m["old_id"]).select(
+                    "term", F.col("new_id").alias("doc_id"), "field", "tf",
+                    "positions", "doclen",
+                )
+            )
+        pos = pparts[0]
+        for pp in pparts[1:]:
+            pos = pos.unionByName(pp)
+        (
+            pos.withColumn(
+                "tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int")
+            )
+            .repartition("tb")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(os.path.join(out_dir, "postings/unit=0"))
+        )
+
     segs_all = spark.read.parquet(os.path.join(out_dir, "segments"))
     write_tstats(
         segs_all.groupBy("term", "field").agg(F.sum("n").alias("df")), out_dir
