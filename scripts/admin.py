@@ -17,6 +17,7 @@ until merge).
 from __future__ import annotations
 
 import argparse
+import os
 import shutil
 import sys
 from pathlib import Path
@@ -116,8 +117,13 @@ def main() -> None:
         corpus = spark.read.parquet(args.from_corpus)
         with tempfile.TemporaryDirectory() as tmp:
             delta = f"{tmp}/delta"
+            # match the base store's sidecar choice: if it serves highlight /
+            # phrase from positions, the delta must carry them too or the
+            # merge would (correctly) drop the sidecar for the whole output
+            has_positions = os.path.isdir(os.path.join(args.index, "postings"))
             build_index_resumable(spark, corpus, delta, n_units=1,
-                                  analyzer=load_analyzer(args.index))
+                                  analyzer=load_analyzer(args.index),
+                                  write_postings=has_positions)
             stats = merge_many(spark, [args.index, delta], args.out)
         print(f"added {corpus.count()} docs into {args.out}: {stats['n_docs']} total")
     elif args.cmd == "since":  # time-windowed maintenance: docs added >= ts
