@@ -142,3 +142,21 @@ def test_snowball_analyzer_presets_and_roundtrip(spark, tmp_path_factory):
     finally:
         sys.path.remove(scripts)
     assert _load_analyzer_py(out).analyze_py("книги компании") == ["книг", "компан"]
+
+
+def test_snowball_total_and_shrinking():
+    """The stemmer is total (never raises, whatever the tokenizer lets
+    through) and never grows a token — the properties the index build relies
+    on when arbitrary corpus text flows in."""
+    import itertools
+
+    ru = snowball_stem_py("ru")
+    uk = snowball_stem_py("uk")
+    weird = ["", "a", "z9", "mixedлат", "ё", "ёё", "ь", "и" * 30, "про",
+             "число123", "🙂", "ѣять", "ҐҐ", " ", "тест́"]
+    short_cyr = ["".join(p) for p in itertools.product("аня", repeat=3)]
+    for w in weird + short_cyr:
+        for st in (ru, uk):
+            out = st(w)
+            assert isinstance(out, str)
+            assert len(out) <= len(w)
