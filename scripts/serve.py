@@ -140,7 +140,7 @@ class SearchApp:
 
     def search(self, q: str, k: int = 10, mode: str = "or",
                highlight: bool = False, fuzzy: bool = False,
-               prefix_length: int = 0) -> list[dict]:
+               prefix_length: int = 0, offset: int = 0) -> list[dict]:
         self._maybe_reload()
         if len(q.strip()) < 3:  # length guard (web/app.py:30-31)
             return []
@@ -160,7 +160,7 @@ class SearchApp:
             if not terms:
                 return []
             mode = "or"
-        hits = self.searcher.search_local(terms, k=k, mode=mode)
+        hits = self.searcher.search_local(terms, k=k, mode=mode, offset=offset)
         if not hits:
             return []
         import pyarrow.dataset as pds
@@ -279,6 +279,9 @@ def make_handler(app: SearchApp):
                         highlight=qs.get("highlight", ["0"])[0] == "1",
                         fuzzy=qs.get("fuzzy", ["0"])[0] == "1",
                         prefix_length=min(int(qs.get("prefix", ["0"])[0]), 8),
+                        # ES from+size pagination (search_local's offset
+                        # contract: shards return offset+k, merge skips offset)
+                        offset=max(int(qs.get("from", ["0"])[0]), 0),
                     )
                 else:
                     self.send_error(404)

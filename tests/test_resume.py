@@ -329,6 +329,16 @@ def test_serve_http_tier(spark, corpus, tmp_path_factory):
         assert hits[0]["title"][0] == hits[0]["title"][0].upper()  # C6
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/search?q=ab") as r:
             assert _json.load(r) == []  # length guard
+        # ES from+size pagination over HTTP
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?q=t0+t1&k=10&mode=or"
+        ) as r:
+            full = _json.load(r)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?q=t0+t1&k=5&mode=or&from=5"
+        ) as r:
+            page2 = _json.load(r)
+        assert [h["doc_id"] for h in page2] == [h["doc_id"] for h in full[5:10]]
     finally:
         srv.shutdown()
 
