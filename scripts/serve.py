@@ -59,9 +59,15 @@ class SearchApp:
         self._lock = threading.Lock()
         self._open()
 
+    # bounded response cache (the ES request-cache analogue): repeat queries
+    # skip the read+score entirely; any store-generation change rebuilds the
+    # whole app state, so entries can never outlive the store they came from
+    RESULT_CACHE_CAP = 256
+
     def _open(self) -> None:
         self.searcher = SegmentSearcher.open_local(self.store_dir)
         self.analyzer = _load_analyzer_py(self.store_dir)
+        self._result_cache: dict[tuple, list[dict]] = {}
         # fuzzy-expansion vocabulary caches: merged max-df across ALL fields
         # (title-only terms expand too), built lazily on the first fuzzy
         # query — full dict for prefix=0, per-first-char buckets (a pruned
@@ -142,6 +148,20 @@ class SearchApp:
                highlight: bool = False, fuzzy: bool = False,
                prefix_length: int = 0, offset: int = 0) -> list[dict]:
         self._maybe_reload()
+        key = (q, k, mode, highlight, fuzzy, prefix_length, offset)
+        cached = self._result_cache.get(key)
+        if cached is not None:
+            return cached
+        out = self._search_uncached(q, k, mode, highlight, fuzzy, prefix_length, offset)
+        with self._lock:
+            self._result_cache.pop(key, None)
+            self._result_cache[key] = out
+            if len(self._result_cache) > self.RESULT_CACHE_CAP:
+                self._result_cache.pop(next(iter(self._result_cache)))
+        return out
+
+    def _search_uncached(self, q: str, k: int, mode: str, highlight: bool,
+                         fuzzy: bool, prefix_length: int, offset: int) -> list[dict]:
         if len(q.strip()) < 3:  # length guard (web/app.py:30-31)
             return []
         terms = self.analyzer.analyze_py(q)

@@ -596,3 +596,33 @@ def test_serve_fuzzy_prefix_band_parity(spark, corpus, tmp_path_factory):
     # only the 'm' and 't' buckets were materialized
     assert set(app._vocab_buckets) == {"m", "t"}
     assert app._vocab_full is None
+
+
+def test_serve_result_cache(spark, corpus, tmp_path_factory):
+    """Request cache: a repeat query is served without touching the store;
+    a store-generation change (tombstone) drops the cache with the reopen."""
+    import sys as _sys
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    _sys.path.insert(0, scripts)
+    try:
+        from serve import SearchApp
+    finally:
+        _sys.path.remove(scripts)
+
+    out = str(tmp_path_factory.mktemp("serve_cache"))
+    build_index_resumable(spark, corpus, out, n_units=2)
+    app = SearchApp(out)
+    first = app.search("t0 t1", k=5, mode="or")
+    assert first and ("t0 t1", 5, "or", False, False, 0, 0) in app._result_cache
+    # poison the uncached path: a cache hit must not re-execute it
+    app._search_uncached = None
+    assert app.search("t0 t1", k=5, mode="or") == first
+    del app._search_uncached  # restore the class method for the reload path
+    # generation change → reopen → fresh cache AND fresh results
+    top = first[0]["doc_id"]
+    spark.createDataFrame([(top,)], "doc_id long").write.mode("append").parquet(
+        os.path.join(out, "tombstones")
+    )
+    fresh = app.search("t0 t1", k=5, mode="or")
+    assert top not in [h["doc_id"] for h in fresh]
