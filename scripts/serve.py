@@ -125,8 +125,23 @@ class SearchApp:
             full = self._vocab_full
             if firsts is None:
                 return full
-            fset = set(firsts)
-            return {t: d for t, d in full.items() if t[:1] in fset}
+            # legacy store (no p1): derive the requested first-char buckets
+            # from the full vocab ONCE each, so repeat prefix queries don't
+            # re-filter the whole dictionary per request
+            with self._lock:
+                missing = [c for c in firsts if c not in self._vocab_buckets]
+                if missing:
+                    mset = set(missing)
+                    got = {c: {} for c in missing}
+                    for t, d in full.items():
+                        c = t[:1]
+                        if c in mset:
+                            got[c][t] = d
+                    self._vocab_buckets.update(got)
+                out: dict[str, float] = {}
+                for c in firsts:
+                    out.update(self._vocab_buckets.get(c, {}))
+                return out
         with self._lock:
             missing = [c for c in firsts if c not in self._vocab_buckets]
             if missing:
