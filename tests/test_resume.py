@@ -626,3 +626,55 @@ def test_serve_result_cache(spark, corpus, tmp_path_factory):
     )
     fresh = app.search("t0 t1", k=5, mode="or")
     assert top not in [h["doc_id"] for h in fresh]
+
+
+def test_decode_cache_rank_parity_and_eviction(spark, corpus, tmp_path_factory):
+    """The serving tier's decoded-block cache must never change a ranking:
+    cold pass == warm pass == the Spark path, across modes/algorithms,
+    pagination, and tombstones; a tiny cache cap (forced eviction, including
+    mid-request) still returns identical results."""
+    from ucuddle_search_engine_spark.operators.wand import SegmentSearcher
+
+    out = str(tmp_path_factory.mktemp("idx_dcache"))
+    build_index_resumable(spark, corpus, out, n_units=2)
+    ref = load_searcher(spark, out).prepare()
+    local = SegmentSearcher.open_local(out)
+
+    cases = [(["t0", "t1"], "or", "auto"), (["t0", "t1"], "and", "auto"),
+             (["t0", "t1", "t2"], "or", "wand"), (["module", "t3"], "or", "exact"),
+             (["t5", "zzznope"], "or", "auto"), (["t40"], "or", "auto")]
+    want = {}
+    for terms, mode, algo in cases:
+        want[(tuple(terms), mode, algo)] = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ref.search_terms(terms, k=10, mode=mode, algorithm=algo).collect()]
+    for rep in range(3):  # cold, warm, warm
+        for terms, mode, algo in cases:
+            got = [(d, round(s, 9)) for d, s in
+                   local.search_local(terms, k=10, mode=mode, algorithm=algo)]
+            assert got == want[(tuple(terms), mode, algo)], (rep, terms, mode, algo)
+    assert local._decode_cache is not None and local._decode_cache._d
+
+    # tiny cap: evictions (also mid-request) must not change results
+    tiny = SegmentSearcher.open_local(out)
+    tiny.DECODE_CACHE_POSTINGS = 64
+    for rep in range(2):
+        for terms, mode, algo in cases:
+            got = [(d, round(s, 9)) for d, s in
+                   tiny.search_local(terms, k=10, mode=mode, algorithm=algo)]
+            assert got == want[(tuple(terms), mode, algo)], (rep, terms, mode, algo)
+    assert tiny._decode_cache._n <= 64
+
+    # pagination + tombstones through the cached path
+    full = [(d, round(s, 9)) for d, s in local.search_local(["t0", "t1"], k=20, mode="or")]
+    page = [(d, round(s, 9)) for d, s in
+            local.search_local(["t0", "t1"], k=10, mode="or", offset=10)]
+    assert full[10:] == page
+    dead = [d for d, _ in full[:2]]
+    spark.createDataFrame([(i,) for i in dead], "doc_id long").write.mode("append").parquet(
+        os.path.join(out, "tombstones")
+    )
+    local2 = SegmentSearcher.open_local(out)
+    got = [d for d, _ in local2.search_local(["t0", "t1"], k=10, mode="or")]
+    got2 = [d for d, _ in local2.search_local(["t0", "t1"], k=10, mode="or")]  # warm
+    assert got == got2 and not set(dead) & set(got)

@@ -39,19 +39,104 @@ INF = np.iinfo(np.int64).max
 UB_EPS = 1e-9
 
 
+class DecodeCache:
+    """Serving-tier cache of DECODED posting blocks — the page-cache analogue
+    every on-disk engine keeps: a static store's block bytes decode to the
+    same arrays on every query and head terms recur across queries, so the
+    varbyte decode (the dominant serving cost at 1M docs: ~230 ms of a
+    ~520 ms head-term query; reads are ~30 ms) is paid once per block.
+
+    Keyed (chain_key, block_ordinal); LRU-bounded by TOTAL CACHED POSTINGS,
+    so memory is capped regardless of corpus or vocabulary size. Misses
+    batch-decode through the same concat decoders as the uncached path.
+    Only SegmentSearcher.search_local (one long-lived serving process) uses
+    it; distributed executors are stateless per task and keep the plain
+    batched decode. Cached arrays are unfiltered (tombstones apply after
+    retrieval, exactly where they applied after decode)."""
+
+    __slots__ = ("max_postings", "_d", "_n")
+
+    def __init__(self, max_postings: int = 8_000_000):
+        self.max_postings = max_postings
+        self._d: dict[tuple, tuple] = {}  # insertion-ordered → LRU via re-insert
+        self._n = 0
+
+    def get_many(self, ckey: tuple, ordinals, doc_bytes, tf_bytes, dl_bytes):
+        """(docs, tfs, dls) concatenated over `ordinals` (block ids within one
+        doc-ordered chain, ascending)."""
+        miss = [int(i) for i in ordinals if (ckey, int(i)) not in self._d]
+        if miss:
+            docs_m, ns_d = decode_doc_ids_concat([doc_bytes[i] for i in miss])
+            tfs_m, ns_t = vb_decode_concat([tf_bytes[i] for i in miss])
+            dls_m, _ = vb_decode_concat([dl_bytes[i] for i in miss])
+            cuts_d = np.cumsum(ns_d)[:-1]
+            cuts_t = np.cumsum(ns_t)[:-1]
+            for i, d, t, l in zip(
+                miss,
+                np.split(docs_m.astype(np.int64), cuts_d),
+                np.split(tfs_m.astype(np.int64), cuts_t),
+                np.split(dls_m.astype(np.int64), cuts_t),
+            ):
+                key = (ckey, i)
+                old = self._d.pop(key, None)
+                if old is not None:
+                    self._n -= len(old[0])
+                self._d[key] = (d, t, l)
+                self._n += len(d)
+            self._evict()
+        parts = []
+        for i in ordinals:
+            key = (ckey, int(i))
+            v = self._d.pop(key, None)
+            if v is None:
+                # evicted within this very request (cap below the query's own
+                # working set) — decode straight through, don't cache
+                v = (
+                    decode_doc_ids_concat([doc_bytes[int(i)]])[0].astype(np.int64),
+                    vb_decode_concat([tf_bytes[int(i)]])[0].astype(np.int64),
+                    vb_decode_concat([dl_bytes[int(i)]])[0].astype(np.int64),
+                )
+            else:
+                self._d[key] = v  # touch: re-insert at LRU tail
+            parts.append(v)
+        if not parts:
+            z = np.empty(0, np.int64)
+            return z, z, z
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
+
+    def _evict(self) -> None:
+        # oldest-first (dicts iterate in insertion order; hits re-insert at
+        # the tail, so the head is the least-recently-used entry)
+        while self._n > self.max_postings and self._d:
+            oldest = next(iter(self._d))
+            d, _, _ = self._d.pop(oldest)
+            self._n -= len(d)
+
+
 class _PList:
     """One (term, field) decoded posting list with block metadata."""
 
     __slots__ = ("docs", "tfs", "dls", "weight_idf", "avgdl", "block_ends", "block_ubs", "cur", "ub")
 
     def __init__(self, blocks: pd.DataFrame, weight_idf: float, avgdl: float,
-                 dead: np.ndarray | None = None):
+                 dead: np.ndarray | None = None,
+                 cache: "DecodeCache | None" = None, ckey: tuple | None = None):
         blocks = blocks.sort_values("block_no")
-        # one vectorized decode pass over ALL the chain's blocks (a Python
-        # decode call per block dominated latency at 10⁴+ blocks per query)
-        self.docs = decode_doc_ids_concat(list(blocks["doc_bytes"]))[0].astype(np.int64)
-        self.tfs = vb_decode_concat(list(blocks["tf_bytes"]))[0].astype(np.int64)
-        self.dls = vb_decode_concat(list(blocks["dl_bytes"]))[0].astype(np.int64)
+        if cache is not None:
+            self.docs, self.tfs, self.dls = cache.get_many(
+                ckey, range(len(blocks)), list(blocks["doc_bytes"]),
+                list(blocks["tf_bytes"]), list(blocks["dl_bytes"]),
+            )
+        else:
+            # one vectorized decode pass over ALL the chain's blocks (a Python
+            # decode call per block dominated latency at 10⁴+ blocks per query)
+            self.docs = decode_doc_ids_concat(list(blocks["doc_bytes"]))[0].astype(np.int64)
+            self.tfs = vb_decode_concat(list(blocks["tf_bytes"]))[0].astype(np.int64)
+            self.dls = vb_decode_concat(list(blocks["dl_bytes"]))[0].astype(np.int64)
         self.weight_idf = weight_idf
         self.avgdl = avgdl
         ns = blocks["n"].to_numpy(np.int64)
@@ -178,9 +263,13 @@ class _BlockList:
     block. Feeds the vectorized block-max scorer."""
 
     __slots__ = ("ubs", "min_docs", "max_docs", "ns", "weight_idf", "avgdl",
-                 "doc_bytes", "tf_bytes", "dl_bytes", "_range_exact", "_sparse")
+                 "doc_bytes", "tf_bytes", "dl_bytes", "_range_exact", "_sparse",
+                 "_cache", "_ckey")
 
-    def __init__(self, blocks: pd.DataFrame, weight_idf: float, avgdl: float):
+    def __init__(self, blocks: pd.DataFrame, weight_idf: float, avgdl: float,
+                 cache: "DecodeCache | None" = None, ckey: tuple | None = None):
+        self._cache = cache
+        self._ckey = ckey
         blocks = blocks.sort_values("block_no")  # doc-ordered, disjoint ranges
         self.ubs = blocks["max_impact"].to_numpy(np.float64) * weight_idf * (1.0 + UB_EPS)
         self.min_docs = blocks["min_doc"].to_numpy(np.int64)
@@ -261,9 +350,16 @@ class _BlockList:
         """Selected blocks → (doc_ids, exact BM25 contributions)."""
         if len(idxs) == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        docs = decode_doc_ids_concat([self.doc_bytes[i] for i in idxs])[0].astype(np.int64)
-        tfs = vb_decode_concat([self.tf_bytes[i] for i in idxs])[0].astype(np.float64)
-        dls = vb_decode_concat([self.dl_bytes[i] for i in idxs])[0].astype(np.float64)
+        if self._cache is not None:
+            docs, tfs, dls = self._cache.get_many(
+                self._ckey, idxs, self.doc_bytes, self.tf_bytes, self.dl_bytes
+            )
+            tfs = tfs.astype(np.float64)
+            dls = dls.astype(np.float64)
+        else:
+            docs = decode_doc_ids_concat([self.doc_bytes[i] for i in idxs])[0].astype(np.int64)
+            tfs = vb_decode_concat([self.tf_bytes[i] for i in idxs])[0].astype(np.float64)
+            dls = vb_decode_concat([self.dl_bytes[i] for i in idxs])[0].astype(np.float64)
         contrib = self.weight_idf * tfs / (tfs + K1 * (1 - B + B * dls / self.avgdl))
         return docs, contrib
 
@@ -483,10 +579,14 @@ def _intersect_and(lists_by_term: dict[str, list[_PList]], k: int,
 
 
 def _score_shard_rows(pdf: pd.DataFrame, widf: dict, avgdl: dict, mode: str, k: int,
-                      nterms: int, algorithm: str, dead, round_dp, wand_min: int) -> list:
+                      nterms: int, algorithm: str, dead, round_dp, wand_min: int,
+                      cache: "DecodeCache | None" = None,
+                      cache_shard: object = None) -> list:
     """Block rows of ONE shard → top-k [(doc_id, score)]. Shared verbatim by
     the distributed path (applyInPandas closure) and the driver-side serving
-    path (SegmentSearcher.search_local) so both return identical rankings."""
+    path (SegmentSearcher.search_local) so both return identical rankings.
+    `cache` (serving path only) memoizes decoded blocks across queries, keyed
+    per (shard, term, field[, unit]) chain."""
     if len(pdf) == 0:
         return []
     # Stores written unit-by-unit (plans/build_index.py) reuse block_no
@@ -501,14 +601,15 @@ def _score_shard_rows(pdf: pd.DataFrame, widf: dict, avgdl: dict, mode: str, k: 
         key = (t, int(f))
         if key not in widf:
             continue
-        groups.append((t, key, g))
+        ck = (cache_shard, *gkey) if cache is not None else None
+        groups.append((t, key, g, ck))
         total += int(g["n"].sum())
     if mode == "and":
         # block-interval pruning: skip decoding blocks that overlap no block
         # range of some other query term
         blists_by_term: dict[str, list[_BlockList]] = {}
-        for t, key, g in groups:
-            L = _BlockList(g, widf[key], avgdl[key])
+        for t, key, g, ck in groups:
+            L = _BlockList(g, widf[key], avgdl[key], cache=cache, ckey=ck)
             blists_by_term.setdefault(t, []).append(L)
         if len(blists_by_term) < nterms:
             return []
@@ -516,12 +617,15 @@ def _score_shard_rows(pdf: pd.DataFrame, widf: dict, avgdl: dict, mode: str, k: 
     if round_dp is None and (algorithm == "wand" or (algorithm == "auto" and total >= wand_min)):
         # vectorized block-max scorer: decodes only blocks whose interval
         # bound can beat θ (numpy-blocked, no per-posting loop)
-        blists = [_BlockList(g, widf[key], avgdl[key]) for _, key, g in groups]
+        blists = [_BlockList(g, widf[key], avgdl[key], cache=cache, ckey=ck)
+                  for _, key, g, ck in groups]
         return _blockmax_or_numpy(blists, k, dead=dead)
     if algorithm == "wand_loop":
-        flat = [_PList(g, widf[key], avgdl[key], dead=dead) for _, key, g in groups]
+        flat = [_PList(g, widf[key], avgdl[key], dead=dead, cache=cache, ckey=ck)
+                for _, key, g, ck in groups]
         return _wand_or(flat, k)
-    flat = [_PList(g, widf[key], avgdl[key], dead=dead) for _, key, g in groups]
+    flat = [_PList(g, widf[key], avgdl[key], dead=dead, cache=cache, ckey=ck)
+            for _, key, g, ck in groups]
     return _exact_or_numpy(flat, k, round_dp=round_dp)
 
 
@@ -548,6 +652,7 @@ class SegmentSearcher:
         # re-read the tstats parquet; missing terms are remembered too
         self._term_memo: dict[tuple[str, int], float | None] = {}
         self._pds: dict[str, object] = {}
+        self._decode_cache: DecodeCache | None = None  # built on first search_local
 
     def prepare(self) -> "SegmentSearcher":
         """Collect the term-stats dictionary once (one job) so every query
@@ -570,6 +675,8 @@ class SegmentSearcher:
     # directory- and row-group-pruned read; hot terms hit this LRU. The cap
     # bounds serving-tier memory at ANY vocabulary size (10⁹ terms never load).
     TERM_MEMO_CAP = 200_000
+    # serving-tier decoded-block cache bound (postings; ~24 B each → ~190 MB)
+    DECODE_CACHE_POSTINGS = 8_000_000
 
     def _memo_put(self, key, val) -> None:
         memo = self._term_memo
@@ -751,6 +858,7 @@ class SegmentSearcher:
         )
         obj._term_memo = {}
         obj._pds = {}
+        obj._decode_cache = None
         return obj
 
     def _dataset(self, rel: str):
@@ -820,11 +928,14 @@ class SegmentSearcher:
         nterms = len(terms)
         tops: list[tuple[int, float]] = []
         if len(pdf):
-            for _, g in pdf.groupby("shard", sort=False):
+            if self._decode_cache is None:
+                self._decode_cache = DecodeCache(self.DECODE_CACHE_POSTINGS)
+            for sh, g in pdf.groupby("shard", sort=False):
                 tops.extend(
                     _score_shard_rows(g, widf, avgdl, mode, offset + k, nterms,
                                       algorithm, dead, round_dp,
-                                      SegmentSearcher.WAND_MIN_POSTINGS)
+                                      SegmentSearcher.WAND_MIN_POSTINGS,
+                                      cache=self._decode_cache, cache_shard=int(sh))
                 )
         tops.sort(key=lambda x: (-x[1], x[0]))
         return tops[offset:offset + k]
