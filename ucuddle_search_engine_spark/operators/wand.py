@@ -394,6 +394,20 @@ def _aggregate_scores(docs_all: np.ndarray, contribs: np.ndarray):
     return uniq, scores
 
 
+def _topk_order(uniq: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (score desc, doc_id asc). O(n) partition to
+    the k-th score, then lexsort ONLY the boundary-inclusive candidates —
+    float ties at the k-th score all reach the lexsort, so the doc-id
+    tie-break is exactly the full-sort's. Falls back to the full lexsort on
+    small inputs where partition overhead wouldn't pay."""
+    n = len(scores)
+    if n > max(4 * k, 64):
+        kth = np.partition(scores, n - k)[n - k]
+        cand = np.flatnonzero(scores >= kth)
+        return cand[np.lexsort((uniq[cand], -scores[cand]))[:k]]
+    return np.lexsort((uniq, -scores))[:k]
+
+
 def _blockmax_or_numpy(lists: list[_BlockList], k: int,
                        dead: np.ndarray | None = None) -> list[tuple[int, float]]:
     """Vectorized block-max disjunctive top-k (exact scores) — the WAND
@@ -477,7 +491,7 @@ def _blockmax_or_numpy(lists: list[_BlockList], k: int,
             contrib_parts.append(c)
 
     uniq, scores = topk_from(docs_parts, contrib_parts)
-    order = np.lexsort((uniq, -scores))[:k]
+    order = _topk_order(uniq, scores, k)
     return [(int(uniq[i]), float(scores[i])) for i in order]
 
 
@@ -561,8 +575,8 @@ def _exact_or_numpy(lists: list[_PList], k: int, round_dp: int | None = None) ->
     )
     uniq, scores = _aggregate_scores(docs_all, contribs)
     if round_dp is not None:
-        scores = np.round(scores, round_dp)
-    order = np.lexsort((uniq, -scores))[:k]
+        scores = np.round(scores, round_dp)  # BEFORE the cut (tie-break contract)
+    order = _topk_order(uniq, scores, k)
     return [(int(uniq[i]), float(scores[i])) for i in order]
 
 
@@ -595,7 +609,7 @@ def _intersect_and(lists_by_term: dict[str, list[_PList]], k: int,
             scores[hit] += L.weight_idf * tf / (tf + K1 * (1 - B + B * dl / L.avgdl))
     if round_dp is not None:
         scores = np.round(scores, round_dp)
-    order = np.lexsort((common, -scores))[:k]
+    order = _topk_order(common, scores, k)
     return [(int(common[i]), float(scores[i])) for i in order]
 
 
