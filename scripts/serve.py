@@ -34,21 +34,14 @@ from ucuddle_search_engine_spark.operators.wand import SegmentSearcher  # noqa: 
 
 
 def _load_analyzer_py(store_dir: str):
-    """analyzer.json → analyze_py callable (identity chain when absent)."""
-    path = os.path.join(store_dir, "analyzer.json")
-    from ucuddle_search_engine_spark.functions.analyze import Analyzer, IDENTITY_ANALYZER
-
-    if not os.path.exists(path):
-        return IDENTITY_ANALYZER
-    with open(path) as f:
-        cfg = json.load(f)
-    return Analyzer(
-        token_pattern=cfg["token_pattern"],
-        stopwords=tuple(cfg["stopwords"]),
-        stem_rules=tuple((s, r) for s, r in cfg["stem_rules"]),
-        min_stem=cfg["min_stem"],
-        snowball=cfg.get("snowball"),  # absent in pre-snowball stores → None
+    """analyzer.json → Analyzer (identity chain when absent) — delegates to
+    the single shared loader, so index and query side can't drift."""
+    from ucuddle_search_engine_spark.functions.analyze import (
+        IDENTITY_ANALYZER,
+        load_analyzer_config,
     )
+
+    return load_analyzer_config(store_dir) or IDENTITY_ANALYZER
 
 
 class SearchApp:
@@ -163,16 +156,21 @@ class SearchApp:
                highlight: bool = False, fuzzy: bool = False,
                prefix_length: int = 0, offset: int = 0) -> list[dict]:
         self._maybe_reload()
+        # pin THIS generation's cache dict: if a concurrent reload swaps in a
+        # fresh store while we compute, the result lands in the orphaned old
+        # dict (garbage-collected), never in the new generation's cache —
+        # a stale response can't outlive the store it came from
+        cache = self._result_cache
         key = (q, k, mode, highlight, fuzzy, prefix_length, offset)
-        cached = self._result_cache.get(key)
+        cached = cache.get(key)
         if cached is not None:
             return cached
         out = self._search_uncached(q, k, mode, highlight, fuzzy, prefix_length, offset)
         with self._lock:
-            self._result_cache.pop(key, None)
-            self._result_cache[key] = out
-            if len(self._result_cache) > self.RESULT_CACHE_CAP:
-                self._result_cache.pop(next(iter(self._result_cache)))
+            cache.pop(key, None)
+            cache[key] = out
+            if len(cache) > self.RESULT_CACHE_CAP:
+                cache.pop(next(iter(cache)))
         return out
 
     def _search_uncached(self, q: str, k: int, mode: str, highlight: bool,
@@ -214,19 +212,15 @@ class SearchApp:
             # sidecar read is a term+id-filtered pushdown scan, never the corpus
             from ucuddle_search_engine_spark.operators.highlight import _snippet
 
-            pt_ds = pds.dataset(os.path.join(self.store_dir, "postings"),
-                                partitioning="hive")
+            pt_ds = self.searcher._dataset("postings")  # memoized, reset on reopen
             flt = (pds.field("term").isin(terms) & pds.field("doc_id").isin(ids)
                    & (pds.field("field") == 0))
             if "tb" in pt_ds.schema.names:
                 # round-4 sidecars carry the term-bucket partition — prune to
                 # |q| of 64 directories before any footer is read
-                from ucuddle_search_engine_spark.functions.hashing import md5_prefix_long_py
-                from ucuddle_search_engine_spark.plans.build_index import TERM_BUCKETS
+                from ucuddle_search_engine_spark.functions.hashing import term_buckets
 
-                flt = flt & pds.field("tb").isin(
-                    sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in terms})
-                )
+                flt = flt & pds.field("tb").isin(term_buckets(terms))
             pt = pt_ds.to_table(filter=flt, columns=["doc_id", "positions"])
             pos: dict[int, list[int]] = {}
             for row in pt.to_pylist():

@@ -665,6 +665,9 @@ def test_decode_cache_rank_parity_and_eviction(spark, corpus, tmp_path_factory):
             assert got == want[(tuple(terms), mode, algo)], (rep, terms, mode, algo)
     assert tiny._decode_cache._n <= 64
 
+    # k=0 (the HTTP tier allows it) must yield [], not a partition crash
+    assert local.search_local(["t0", "t1"], k=0, mode="or") == []
+
     # pagination + tombstones through the cached path
     full = [(d, round(s, 9)) for d, s in local.search_local(["t0", "t1"], k=20, mode="or")]
     page = [(d, round(s, 9)) for d, s in

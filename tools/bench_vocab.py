@@ -31,7 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from ucuddle_search_engine_spark.functions.hashing import md5_prefix_long_py  # noqa: E402
+from ucuddle_search_engine_spark.functions.hashing import term_buckets  # noqa: E402
 from ucuddle_search_engine_spark.plans.build_index import TERM_BUCKETS, write_tstats  # noqa: E402
 from ucuddle_search_engine_spark.session import get_spark  # noqa: E402
 
@@ -49,7 +49,7 @@ def lookup_pruned(path: str, terms: list[str]) -> int:
     import pyarrow.dataset as pds
 
     ds = pds.dataset(path, partitioning="hive")
-    buckets = sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in terms})
+    buckets = term_buckets(terms)
     tt = ds.to_table(
         filter=pds.field("term").isin(terms) & pds.field("tb").isin(buckets),
         columns=["term", "field", "df"],

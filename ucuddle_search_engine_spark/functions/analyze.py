@@ -141,6 +141,29 @@ class Analyzer:
 
 IDENTITY_ANALYZER = Analyzer()
 
+
+def load_analyzer_config(store_dir: str) -> "Analyzer | None":
+    """analyzer.json → Analyzer (None when the store has no config). THE one
+    loader — the Spark tier (plans.build_index.load_analyzer) and the
+    Spark-free serving tier (scripts/serve.py) both delegate here, so a new
+    Analyzer field can never reach one side's loader and not the other's
+    (that would silently break index/query stemming parity)."""
+    import json
+    import os
+
+    path = os.path.join(store_dir, "analyzer.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        cfg = json.load(f)
+    return Analyzer(
+        token_pattern=cfg["token_pattern"],
+        stopwords=tuple(cfg["stopwords"]),
+        stem_rules=tuple((s, r) for s, r in cfg["stem_rules"]),
+        min_stem=cfg["min_stem"],
+        snowball=cfg.get("snowball"),  # absent in pre-snowball stores → None
+    )
+
 # Light stemmers: strip-only suffix rules (longest-first; identity pairs block
 # over-stripping), the ES light_english/light_russian shape — deliberately
 # coarse, same on both index and query sides so recall improves without any

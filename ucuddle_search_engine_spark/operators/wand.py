@@ -48,23 +48,33 @@ class DecodeCache:
 
     Keyed (chain_key, block_ordinal); LRU-bounded by TOTAL CACHED POSTINGS,
     so memory is capped regardless of corpus or vocabulary size. Misses
-    batch-decode through the same concat decoders as the uncached path.
-    Only SegmentSearcher.search_local (one long-lived serving process) uses
-    it; distributed executors are stateless per task and keep the plain
-    batched decode. Cached arrays are unfiltered (tombstones apply after
-    retrieval, exactly where they applied after decode)."""
+    batch-decode through the same concat decoders as the uncached path; each
+    block's slice is COPIED out of the batch buffer before caching, so an
+    evicted block actually frees its memory (a numpy split view would pin the
+    whole batch). Only SegmentSearcher.search_local uses it; distributed
+    executors are stateless per task and keep the plain batched decode. The
+    serving tier is a ThreadingHTTPServer, so all cache state mutates under
+    one lock (decode of misses happens outside it). Cached arrays are
+    unfiltered (tombstones apply after retrieval, exactly where they applied
+    after decode)."""
 
-    __slots__ = ("max_postings", "_d", "_n")
+    __slots__ = ("max_postings", "_d", "_n", "_lock")
 
     def __init__(self, max_postings: int = 8_000_000):
+        import threading
+
         self.max_postings = max_postings
         self._d: dict[tuple, tuple] = {}  # insertion-ordered → LRU via re-insert
         self._n = 0
+        self._lock = threading.Lock()
 
     def get_many(self, ckey: tuple, ordinals, doc_bytes, tf_bytes, dl_bytes):
         """(docs, tfs, dls) concatenated over `ordinals` (block ids within one
         doc-ordered chain, ascending)."""
-        miss = [int(i) for i in ordinals if (ckey, int(i)) not in self._d]
+        ordinals = [int(i) for i in ordinals]
+        with self._lock:
+            miss = [i for i in ordinals if (ckey, i) not in self._d]
+        decoded: dict[int, tuple] = {}
         if miss:
             docs_m, ns_d = decode_doc_ids_concat([doc_bytes[i] for i in miss])
             tfs_m, ns_t = vb_decode_concat([tf_bytes[i] for i in miss])
@@ -77,40 +87,49 @@ class DecodeCache:
                 np.split(tfs_m.astype(np.int64), cuts_t),
                 np.split(dls_m.astype(np.int64), cuts_t),
             ):
+                # .copy(): own the block's memory, don't pin the batch buffer
+                decoded[i] = (d.copy(), t.copy(), l.copy())
+        parts = []
+        with self._lock:
+            for i, v in decoded.items():
                 key = (ckey, i)
                 old = self._d.pop(key, None)
                 if old is not None:
                     self._n -= len(old[0])
-                self._d[key] = (d, t, l)
-                self._n += len(d)
-            self._evict()
-        parts = []
-        for i in ordinals:
-            key = (ckey, int(i))
-            v = self._d.pop(key, None)
+                self._d[key] = v
+                self._n += len(v[0])
+            self._evict_locked()
+            for i in ordinals:
+                key = (ckey, i)
+                v = self._d.pop(key, None)
+                if v is not None:
+                    self._d[key] = v  # touch: re-insert at LRU tail
+                parts.append((i, v))
+        out = []
+        for i, v in parts:
             if v is None:
-                # evicted within this very request (cap below the query's own
-                # working set) — decode straight through, don't cache
-                v = (
-                    decode_doc_ids_concat([doc_bytes[int(i)]])[0].astype(np.int64),
-                    vb_decode_concat([tf_bytes[int(i)]])[0].astype(np.int64),
-                    vb_decode_concat([dl_bytes[int(i)]])[0].astype(np.int64),
+                # evicted before the touch (cap below the query's own working
+                # set, or a concurrent request's churn) — decode straight
+                # through, don't cache
+                v = decoded.get(i) or (
+                    decode_doc_ids_concat([doc_bytes[i]])[0].astype(np.int64),
+                    vb_decode_concat([tf_bytes[i]])[0].astype(np.int64),
+                    vb_decode_concat([dl_bytes[i]])[0].astype(np.int64),
                 )
-            else:
-                self._d[key] = v  # touch: re-insert at LRU tail
-            parts.append(v)
-        if not parts:
+            out.append(v)
+        if not out:
             z = np.empty(0, np.int64)
             return z, z, z
         return (
-            np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
-            np.concatenate([p[2] for p in parts]),
+            np.concatenate([p[0] for p in out]),
+            np.concatenate([p[1] for p in out]),
+            np.concatenate([p[2] for p in out]),
         )
 
-    def _evict(self) -> None:
+    def _evict_locked(self) -> None:
         # oldest-first (dicts iterate in insertion order; hits re-insert at
-        # the tail, so the head is the least-recently-used entry)
+        # the tail, so the head is the least-recently-used entry). Caller
+        # holds self._lock.
         while self._n > self.max_postings and self._d:
             oldest = next(iter(self._d))
             d, _, _ = self._d.pop(oldest)
@@ -401,6 +420,8 @@ def _topk_order(uniq: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
     tie-break is exactly the full-sort's. Falls back to the full lexsort on
     small inputs where partition overhead wouldn't pay."""
     n = len(scores)
+    if k <= 0:
+        return np.empty(0, np.int64)  # ?k=0 must yield [], not a crash
     if n > max(4 * k, 64):
         kth = np.partition(scores, n - k)[n - k]
         cand = np.flatnonzero(scores >= kth)
@@ -685,7 +706,10 @@ class SegmentSearcher:
         self._tstats_cache: dict | None = None
         # per-term memo for the no-prepare() path: repeat queries never
         # re-read the tstats parquet; missing terms are remembered too
+        import threading
+
         self._term_memo: dict[tuple[str, int], float | None] = {}
+        self._memo_lock = threading.Lock()
         self._pds: dict[str, object] = {}
         self._decode_cache: DecodeCache | None = None  # built on first search_local
 
@@ -713,7 +737,8 @@ class SegmentSearcher:
     # serving-tier decoded-block cache bound (postings; ~24 B each → ~190 MB)
     DECODE_CACHE_POSTINGS = 8_000_000
 
-    def _memo_put(self, key, val) -> None:
+    def _memo_put_locked(self, key, val) -> None:
+        """Caller holds self._memo_lock."""
         memo = self._term_memo
         memo.pop(key, None)
         memo[key] = val  # dicts iterate in insertion order → eviction order
@@ -724,23 +749,33 @@ class SegmentSearcher:
         """(term, field) → df for the query's terms, via the LRU memo;
         read_rows(missing_terms) resolves cold terms from the backing store
         (Spark or pyarrow — both prune on tb before reading rows). Missing
-        terms are remembered as None so repeat misses cost nothing."""
-        memo = self._term_memo
-        missing = [t for t in terms if any((t, f) not in memo for f in fields)]
+        terms are remembered as None so repeat misses cost nothing. The
+        serving tier is threaded, so memo state mutates only under the lock,
+        and this request's answer comes from ONE locked snapshot plus its own
+        read — a concurrent eviction can cost a re-read, never a wrong df."""
+        vals: dict[tuple, float | None] = {}
+        missing: list[str] = []
+        with self._memo_lock:
+            memo = self._term_memo
+            for t in terms:
+                keys = [(t, f) for f in fields]
+                if all(k in memo for k in keys):
+                    for kk in keys:
+                        v = memo.pop(kk)  # touch: re-insert at LRU tail
+                        memo[kk] = v
+                        vals[kk] = v
+                else:
+                    missing.append(t)
         if missing:
             found = {(t, int(f)): d for t, f, d in read_rows(missing)}
             for t in missing:
                 for f in fields:
-                    self._memo_put((t, f), found.get((t, f)))
-        stats = {}
-        for t in terms:
-            for f in fields:
-                if (t, f) in memo:
-                    v = memo.pop((t, f))  # touch: re-insert at LRU tail
-                    memo[(t, f)] = v
-                    if v is not None:
-                        stats[(t, f)] = v
-        return stats
+                    vals[(t, f)] = found.get((t, f))
+            with self._memo_lock:
+                for t in missing:
+                    for f in fields:
+                        self._memo_put_locked((t, f), vals[(t, f)])
+        return {k: v for k, v in vals.items() if v is not None}
 
     def tstats_lookup_df(self, missing: list[str], fields: list[int]) -> DataFrame:
         """The cold-term dictionary lookup as a DataFrame: term + field
@@ -750,11 +785,9 @@ class SegmentSearcher:
             F.col("term").isin(missing) & F.col("field").isin(fields)
         )
         if "tb" in self.tstats.columns:
-            from ..functions.hashing import md5_prefix_long_py
-            from ..plans.build_index import TERM_BUCKETS
+            from ..functions.hashing import term_buckets
 
-            buckets = sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in missing})
-            q = q.filter(F.col("tb").isin(buckets))
+            q = q.filter(F.col("tb").isin(term_buckets(missing)))
         return q.select("term", "field", "df")
 
     def _read_tstats_spark(self, missing: list[str], fields: list[int]):
@@ -764,14 +797,12 @@ class SegmentSearcher:
     def _read_tstats_local(self, missing: list[str], fields: list[int]):
         import pyarrow.dataset as pds
 
-        from ..functions.hashing import md5_prefix_long_py
-        from ..plans.build_index import TERM_BUCKETS
+        from ..functions.hashing import term_buckets
 
         ds = self._dataset("tstats")
         flt = pds.field("term").isin(missing) & pds.field("field").isin(sorted(fields))
         if "tb" in ds.schema.names:
-            buckets = sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in missing})
-            flt = flt & pds.field("tb").isin(buckets)
+            flt = flt & pds.field("tb").isin(term_buckets(missing))
         tt = ds.to_table(filter=flt, columns=["term", "field", "df"])
         return zip(tt["term"].to_pylist(), tt["field"].to_pylist(), tt["df"].to_pylist())
 
@@ -834,11 +865,9 @@ class SegmentSearcher:
         if "tb" in self.segments.columns:
             # written stores carry the md5 term-bucket PARTITION column —
             # directory-level pruning before any row is read
-            from ..functions.hashing import md5_prefix_long_py
-            from ..plans.build_index import TERM_BUCKETS
+            from ..functions.hashing import term_buckets
 
-            buckets = sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in terms})
-            matched = matched.filter(F.col("tb").isin(buckets))
+            matched = matched.filter(F.col("tb").isin(term_buckets(terms)))
 
         wand_min = SegmentSearcher.WAND_MIN_POSTINGS
 
@@ -891,7 +920,10 @@ class SegmentSearcher:
             sorted(set(pds.dataset(ts_path).to_table()["doc_id"].to_pylist()))
             if os.path.isdir(ts_path) else []
         )
+        import threading
+
         obj._term_memo = {}
+        obj._memo_lock = threading.Lock()
         obj._pds = {}
         obj._decode_cache = None
         return obj
@@ -949,14 +981,12 @@ class SegmentSearcher:
             widf[(t, f)] = self.boosts[f] * math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
             avgdl[(t, f)] = float(coll[f][1])
 
-        from ..functions.hashing import md5_prefix_long_py
-        from ..plans.build_index import TERM_BUCKETS
+        from ..functions.hashing import term_buckets
 
-        buckets = sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in terms})
         flt = pds.field("term").isin(terms) & pds.field("field").isin(fields)
         data = self._dataset("segments")
         if "tb" in data.schema.names:
-            flt = flt & pds.field("tb").isin(buckets)
+            flt = flt & pds.field("tb").isin(term_buckets(terms))
         pdf = data.to_table(filter=flt).to_pandas()
 
         dead = np.asarray(self.tombstones, dtype=np.int64) if self.tombstones else None
@@ -964,13 +994,16 @@ class SegmentSearcher:
         tops: list[tuple[int, float]] = []
         if len(pdf):
             if self._decode_cache is None:
-                self._decode_cache = DecodeCache(self.DECODE_CACHE_POSTINGS)
+                with self._memo_lock:  # threaded serving: create exactly once
+                    if self._decode_cache is None:
+                        self._decode_cache = DecodeCache(self.DECODE_CACHE_POSTINGS)
+            cache = self._decode_cache
             for sh, g in pdf.groupby("shard", sort=False):
                 tops.extend(
                     _score_shard_rows(g, widf, avgdl, mode, offset + k, nterms,
                                       algorithm, dead, round_dp,
                                       SegmentSearcher.WAND_MIN_POSTINGS,
-                                      cache=self._decode_cache, cache_shard=int(sh))
+                                      cache=cache, cache_shard=int(sh))
                 )
         tops.sort(key=lambda x: (-x[1], x[0]))
         return tops[offset:offset + k]

@@ -317,10 +317,9 @@ def read_postings_sidecar(spark: SparkSession, out_dir: str, terms) -> DataFrame
         F.col("term").isin(list(terms))
     )
     if "tb" in post.columns:
-        from ..functions.hashing import md5_prefix_long_py
+        from ..functions.hashing import term_buckets
 
-        buckets = sorted({md5_prefix_long_py(t) % TERM_BUCKETS for t in terms})
-        post = post.filter(F.col("tb").isin(buckets))
+        post = post.filter(F.col("tb").isin(term_buckets(terms)))
     return post
 
 
@@ -345,21 +344,11 @@ def phrase_search_written(spark: SparkSession, out_dir: str, phrase: list[str],
 
 
 def load_analyzer(out_dir: str):
-    """The analyzer this store was built with (None = identity)."""
-    path = os.path.join(out_dir, "analyzer.json")
-    if not os.path.exists(path):
-        return None
-    from ..functions.analyze import Analyzer
+    """The analyzer this store was built with (None = identity). Delegates to
+    the ONE loader in functions.analyze so the serving tier can never drift."""
+    from ..functions.analyze import load_analyzer_config
 
-    with open(path) as f:
-        cfg = json.load(f)
-    return Analyzer(
-        token_pattern=cfg["token_pattern"],
-        stopwords=tuple(cfg["stopwords"]),
-        stem_rules=tuple((s, r) for s, r in cfg["stem_rules"]),
-        min_stem=cfg["min_stem"],
-        snowball=cfg.get("snowball"),  # absent in pre-snowball stores → None
-    )
+    return load_analyzer_config(out_dir)
 
 
 def search_written(spark: SparkSession, out_dir: str, query: str, k: int = 10,

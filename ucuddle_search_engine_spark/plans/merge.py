@@ -119,7 +119,11 @@ def merge_many(spark: SparkSession, stores: list[str], out_dir: str,
     for i, d in enumerate(docs_list):
         t = d.select(
             *[
-                F.col(c) if c in d.columns else F.lit(None).cast(dtypes[c]).alias(c)
+                # cast present columns too: a store whose shared column
+                # drifted type unions against the first-seen type instead of
+                # failing in unionByName
+                F.col(c).cast(dtypes[c]).alias(c) if c in d.columns
+                else F.lit(None).cast(dtypes[c]).alias(c)
                 for c in cols
             ]
         ).withColumn("_sidx", F.lit(i))
