@@ -681,3 +681,62 @@ def test_decode_cache_rank_parity_and_eviction(spark, corpus, tmp_path_factory):
     got = [d for d, _ in local2.search_local(["t0", "t1"], k=10, mode="or")]
     got2 = [d for d, _ in local2.search_local(["t0", "t1"], k=10, mode="or")]  # warm
     assert got == got2 and not set(dead) & set(got)
+
+
+def test_serve_concurrent_requests_and_reload(spark, corpus, tmp_path_factory):
+    """Hammer the threaded serving tier from 8 threads (mixed query shapes,
+    fuzzy prefix included, tiny decode-cache cap to force eviction churn)
+    while the store generation changes mid-flight: zero exceptions, and every
+    observed ranking for the probe query is exactly the pre- or post-delete
+    ranking — never a mix."""
+    import sys as _sys
+    import threading
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    _sys.path.insert(0, scripts)
+    try:
+        from serve import SearchApp
+    finally:
+        _sys.path.remove(scripts)
+
+    out = str(tmp_path_factory.mktemp("serve_conc"))
+    build_index_resumable(spark, corpus, out, n_units=2)
+    app = SearchApp(out)
+    app.searcher.DECODE_CACHE_POSTINGS = 512  # force cache churn
+    pre = tuple((h["doc_id"], h["score"]) for h in app.search("t0 t1", k=5, mode="or"))
+    dead = pre[0][0]
+
+    errors: list[BaseException] = []
+    observed: set[tuple] = set()
+    obs_lock = threading.Lock()
+    stop = threading.Event()
+
+    def worker(seed: int) -> None:
+        qs = ["t0 t1", "module t3", "t5 t40", "modul t00"]
+        try:
+            i = 0
+            while not stop.is_set() and i < 60:
+                q = qs[(seed + i) % len(qs)]
+                kw = {"fuzzy": True, "prefix_length": 1} if q == "modul t00" else {}
+                hits = app.search(q, k=5, mode="or", **kw)
+                if q == "t0 t1":
+                    with obs_lock:
+                        observed.add(tuple((h["doc_id"], h["score"]) for h in hits))
+                i += 1
+        except BaseException as e:  # noqa: BLE001 - the assertion target
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    # mid-flight generation change: tombstone the top doc
+    spark.createDataFrame([(dead,)], "doc_id long").write.mode("append").parquet(
+        os.path.join(out, "tombstones")
+    )
+    for t in threads:
+        t.join(timeout=120)
+    stop.set()
+    assert not errors, errors[:3]
+    post = tuple((h["doc_id"], h["score"]) for h in app.search("t0 t1", k=5, mode="or"))
+    assert dead not in [d for d, _ in post]
+    assert observed <= {pre, post}, observed

@@ -916,10 +916,15 @@ class SegmentSearcher:
         with open(os.path.join(store_dir, "cstats.json")) as fh:
             obj._coll = {r["field"]: (r["n_docs"], r["avgdl"]) for r in json.load(fh)}
         ts_path = os.path.join(store_dir, "tombstones")
-        obj.tombstones = (
-            sorted(set(pds.dataset(ts_path).to_table()["doc_id"].to_pylist()))
-            if os.path.isdir(ts_path) else []
-        )
+        obj.tombstones = []
+        if os.path.isdir(ts_path):
+            tt = pds.dataset(ts_path).to_table()
+            if "doc_id" in tt.column_names:
+                obj.tombstones = sorted(set(tt["doc_id"].to_pylist()))
+            # else: a delete-docs writer is mid-commit (only _temporary files
+            # exist, which pyarrow ignores → empty schema). Serve the
+            # pre-delete view; the serving tier's generation check reopens
+            # the store the moment the committed files land.
         import threading
 
         obj._term_memo = {}
