@@ -258,7 +258,11 @@ class RoutedSearchApp:
     def _open(self) -> None:
         path = os.path.join(self.root_dir, "routing.json")
         with open(path) as f:
-            self.langs = json.load(f)["langs"]
+            meta = json.load(f)
+        self.langs = meta["langs"]
+        # the reference's else-branch: unknown-language queries go to a
+        # configured default store (ru there, web/elastic_interaction.py:53-57)
+        self.fallback = meta.get("fallback")
         self._routing_mtime = os.stat(path).st_mtime_ns
         self.apps = {
             lang: SearchApp(os.path.join(self.root_dir, f"lang={lang}"))
@@ -281,8 +285,10 @@ class RoutedSearchApp:
 
         lang = detect_lang(q)
         app = self.apps.get(lang)
+        if app is None and self.fallback is not None:
+            lang, app = self.fallback, self.apps.get(self.fallback)
         if app is None:
-            return []  # und / unrouted language: no matching store
+            return []  # und / unrouted language and no fallback configured
         hits = app.search(q, k=k, mode=mode, **kw)
         for h in hits:
             h["lang"] = lang

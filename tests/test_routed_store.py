@@ -117,3 +117,40 @@ def test_routed_serve_detects_and_routes(spark, bilingual, tmp_path_factory):
     assert en_hits and all(h["lang"] == "en" for h in en_hits)
     assert app.search("qqq zzz xxx", k=5) == []  # und → no store
     assert app.n_docs() == 8
+
+
+def test_routed_serve_fallback_lang(spark, bilingual, tmp_path_factory):
+    """The reference routes UNKNOWN-language queries to its ru index (the
+    else-branch of web/elastic_interaction.py:53-57). With
+    fallback_lang='ru', an undetectable query serves from the ru store (its
+    analyzer included); without it, behavior stays strict-empty."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        from serve import RoutedSearchApp
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path_factory.mktemp("routed_fb"))
+    build_routed_stores(spark, bilingual, out, n_units=1, fallback_lang="ru")
+    app = RoutedSearchApp(out)
+    # Cyrillic content words, zero stopword hits → detect_lang = 'und'
+    from ucuddle_search_engine_spark.operators.routing import detect_lang
+
+    q = "окна потоков"
+    assert detect_lang(q) == "und"
+    hits = app.search(q, k=5)
+    assert hits and all(h["lang"] == "ru" for h in hits)
+    # a store set without fallback keeps the strict behavior
+    out2 = str(tmp_path_factory.mktemp("routed_nofb"))
+    build_routed_stores(spark, bilingual, out2, n_units=1)
+    assert RoutedSearchApp(out2).search(q, k=5) == []
+    # misconfigured fallback refuses at build time
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fallback_lang"):
+        build_routed_stores(spark, bilingual,
+                            str(tmp_path_factory.mktemp("routed_bad")),
+                            n_units=1, fallback_lang="zz")

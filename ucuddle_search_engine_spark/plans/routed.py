@@ -36,9 +36,15 @@ def build_routed_stores(
     analyzers: dict[str, Analyzer] | None = None,
     n_units: int = 2,
     num_shards: int = 3,
+    fallback_lang: str | None = None,
 ) -> dict:
     """One store per distinct language label under out_dir/lang=<l>, each
-    built with its language's analyzer (ANALYZERS preset or identity)."""
+    built with its language's analyzer (ANALYZERS preset or identity).
+
+    fallback_lang: where UNROUTABLE queries go — the reference's else-branch
+    sends unknown-language queries to its ru index
+    (web/elastic_interaction.py:53-57). None (default) keeps the stricter
+    empty-result behavior."""
     langs = sorted(r[0] for r in corpus.select(lang_col).distinct().collect())
     amap = {**{lang: ANALYZERS.get(lang) for lang in langs}, **(analyzers or {})}
     stats = {}
@@ -48,8 +54,10 @@ def build_routed_stores(
             spark, sub, os.path.join(out_dir, f"lang={lang}"),
             n_units=n_units, num_shards=num_shards, analyzer=amap.get(lang),
         )
+    if fallback_lang is not None and fallback_lang not in langs:
+        raise ValueError(f"fallback_lang {fallback_lang!r} has no store (langs={langs})")
     with open(os.path.join(out_dir, "routing.json"), "w") as f:
-        json.dump({"langs": langs, "lang_col": lang_col}, f)
+        json.dump({"langs": langs, "lang_col": lang_col, "fallback": fallback_lang}, f)
     return stats
 
 
@@ -60,6 +68,7 @@ class RoutedStores:
         with open(os.path.join(out_dir, "routing.json")) as f:
             meta = json.load(f)
         self.langs = meta["langs"]
+        self.fallback = meta.get("fallback")
         self.searchers = {
             lang: load_searcher(spark, os.path.join(out_dir, f"lang={lang}"))
             for lang in self.langs
@@ -72,9 +81,13 @@ class RoutedStores:
 
     def search(self, query: str, lang: str | None = None, k: int = 10, mode: str = "or") -> DataFrame:
         """Explicit lang (the crawler's per-site label) or detect from the
-        query text (the web tier's branch). Unroutable → empty result, like
-        the reference returning nothing for an unsupported language."""
+        query text (the web tier's branch). Unroutable → the configured
+        fallback store when routing.json carries one (the reference's
+        else-branch routes unknown languages to ru,
+        web/elastic_interaction.py:53-57), else an empty result."""
         lang = lang or detect_lang(query)
+        if lang not in self.searchers and self.fallback is not None:
+            lang = self.fallback
         if lang not in self.searchers:
             return self._spark.createDataFrame([], "doc_id long, score double")
         an = self.analyzers[lang]
