@@ -624,6 +624,49 @@ _MULTIMODAL_SQL = """
 """
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing, oracle-checked: every-2nd frame of a
+    deterministic fake container (payload = UTF-8 text bytes, n_frames
+    derived from length, EXACT integer chunk boundaries) through the REAL
+    Arrow mapInPandas fan-out stage (operators/multimodal.sample_frames —
+    one input row yields multiple frames inside the batch; no explode, no
+    shuffle). The corpus is pure ASCII so byte == char and the byte slices
+    replay as DuckDB string arithmetic; md5 over a frame's bytes matches
+    md5 of the same ASCII substring. The real demuxer (ffmpeg) stays a
+    disclosed stub, exactly like the image decoder."""
+    from ucuddle_search_engine_spark.operators.multimodal import (
+        attach_fake_video,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_fake_video(docs), every=2, fake=True)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+WITH vid AS (
+  SELECT doc_id, text, (length(text) % 7) + 2 AS n_frames, length(text) AS nb
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_no,
+         substring(text, (i * nb) // n_frames + 1,
+                   ((i + 1) * nb) // n_frames - (i * nb) // n_frames) AS frame
+  FROM vid, UNNEST(range(n_frames)) AS t(i)
+  WHERE i % 2 = 0
+)
+SELECT doc_id, frame_no, CAST(length(frame) AS BIGINT) AS n_bytes,
+       md5(frame) AS frame_md5
+FROM frames
+"""
+
+
 def _pagerank_sql(iters: int = PR_ITERS, n: int = 500, d: float = 0.85) -> str:
     """Unrolled power iteration as chained CTEs (machine-checkable oracle for
     the 'iterative, non-SQL-expressible' operator)."""
@@ -1378,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "pagerank": q_pagerank,
         "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
         "phrase_match": q_phrase_match,
         "json_extract_props": q_json_extract_props,
         "rollup_revenue": q_rollup_revenue,
@@ -1648,4 +1692,5 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB-replayable over the ASCII corpus (byte == code point);
         # only the media DECODE stays stubbed (no image libs in env).
         "multimodal_features": _MULTIMODAL_SQL,
+        "frame_sample": _FRAME_SAMPLE_SQL,
     }

@@ -224,3 +224,48 @@ def test_sessionize_stream_counter_survives_timeout(spark, tmp_path):
     )
     # exactly two u1 sessions, MONOTONE numbering — no duplicate (1, 0)
     assert rows == [(1, 0, 2, 1.0), (1, 1, 1, 600.0)], rows
+
+
+def test_resize_and_frame_sample_plumbing(spark, documents):
+    """resize keeps the MEDIA_SCHEMA contract with updated metadata;
+    frame sampling fans one container row out to its every-2nd frames with
+    exact integer boundaries (reassembling ALL frames at every=1 recovers the
+    payload byte-for-byte); both real decoders stay disclosed stubs."""
+    from ucuddle_search_engine_spark.operators.multimodal import (
+        attach_fake_payload,
+        attach_fake_video,
+        resize_media,
+        sample_frames,
+    )
+
+    media = attach_fake_payload(documents.limit(20))
+    out = resize_media(media, width=8, height=4, fake=True)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    src = {r["doc_id"]: r for r in media.collect()}
+    assert set(out.columns) == set(media.columns)  # schema contract holds
+    for d, r in rows.items():
+        assert (r["width"], r["height"]) == (8, 4)
+        assert bytes(r["payload"]) == bytes(src[d]["payload"])[:32]
+
+    vid = attach_fake_video(documents.limit(10))
+    meta = {r["doc_id"]: (bytes(r["payload"]), r["n_frames"]) for r in vid.collect()}
+    # every=1: concatenating the frames in order reconstructs the container
+    all_frames = sample_frames(vid, every=1, fake=True).collect()
+    by_doc: dict[int, list] = {}
+    for r in all_frames:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_no"], bytes(r["frame"])))
+    for d, (payload, n) in meta.items():
+        frames = [f for _, f in sorted(by_doc[d])]
+        assert len(frames) == n
+        assert b"".join(frames) == payload
+    # every=2 keeps exactly the even frame ids (a strict subset)
+    some = sample_frames(vid, every=2, fake=True).collect()
+    for r in some:
+        assert r["frame_no"] % 2 == 0
+        assert bytes(r["frame"]) == dict(by_doc[r["doc_id"]])[r["frame_no"]]
+
+    # real decode paths stay disclosed stubs
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        resize_media(media, 8, 4, fake=False).collect()
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        sample_frames(vid, every=2, fake=False).collect()
