@@ -44,6 +44,28 @@ def _load_analyzer_py(store_dir: str):
     return load_analyzer_config(store_dir) or IDENTITY_ANALYZER
 
 
+class _StoreView:
+    """ONE store generation's complete serving state: searcher + analyzer +
+    every cache that derives from the store's files. A request captures a
+    view once and runs wholly against it, so a concurrent reload can never
+    mix generations inside a request or poison the new generation's caches —
+    late writes land in the orphaned old view and are garbage-collected."""
+
+    __slots__ = ("searcher", "analyzer", "result_cache", "vocab_full", "vocab_buckets")
+
+    def __init__(self, store_dir: str):
+        self.searcher = SegmentSearcher.open_local(store_dir)
+        self.analyzer = _load_analyzer_py(store_dir)
+        # bounded response cache (the ES request-cache analogue)
+        self.result_cache: dict[tuple, list[dict]] = {}
+        # fuzzy-expansion vocabulary caches: merged max-df across ALL fields
+        # (title-only terms expand too), built lazily on the first fuzzy
+        # query — full dict for prefix=0, per-first-char buckets (a pruned
+        # tstats read each) for prefix>=1
+        self.vocab_full: dict[str, float] | None = None
+        self.vocab_buckets: dict[str, dict[str, float]] = {}
+
+
 class SearchApp:
     def __init__(self, store_dir: str):
         import threading
@@ -52,22 +74,37 @@ class SearchApp:
         self._lock = threading.Lock()
         self._open()
 
-    # bounded response cache (the ES request-cache analogue): repeat queries
-    # skip the read+score entirely; any store-generation change rebuilds the
-    # whole app state, so entries can never outlive the store they came from
     RESULT_CACHE_CAP = 256
 
     def _open(self) -> None:
-        self.searcher = SegmentSearcher.open_local(self.store_dir)
-        self.analyzer = _load_analyzer_py(self.store_dir)
-        self._result_cache: dict[tuple, list[dict]] = {}
-        # fuzzy-expansion vocabulary caches: merged max-df across ALL fields
-        # (title-only terms expand too), built lazily on the first fuzzy
-        # query — full dict for prefix=0, per-first-char buckets (a pruned
-        # tstats read each) for prefix>=1
-        self._vocab_full: dict[str, float] | None = None
-        self._vocab_buckets: dict[str, dict[str, float]] = {}
-        self._gen = self._generation()
+        # snapshot the generation token BEFORE reading the store: a write
+        # that commits while we open makes the token stale, so the NEXT
+        # request reopens and picks it up (computing the token after the read
+        # would silently absorb the mid-open commit's mtimes and never reload)
+        gen = self._generation()
+        self._view = _StoreView(self.store_dir)
+        self._gen = gen
+
+    # -- back-compat accessors (tests + introspection) -----------------------
+    @property
+    def searcher(self):
+        return self._view.searcher
+
+    @property
+    def analyzer(self):
+        return self._view.analyzer
+
+    @property
+    def _result_cache(self):
+        return self._view.result_cache
+
+    @property
+    def _vocab_full(self):
+        return self._view.vocab_full
+
+    @property
+    def _vocab_buckets(self):
+        return self._view.vocab_buckets
 
     # -- freshness (the ES refresh analogue) --------------------------------
     # The reference makes every indexed doc immediately searchable
@@ -94,14 +131,14 @@ class SearchApp:
                 if gen != self._gen:  # double-checked under the lock
                     self._open()
 
-    def _vocab(self, firsts: list[str] | None) -> dict[str, float]:
+    def _vocab(self, view: _StoreView, firsts: list[str] | None) -> dict[str, float]:
         """{term: max df across fields} for fuzzy expansion. firsts=None →
         the whole vocabulary (prefix_length=0); otherwise only those
         first-char buckets, each a p1-filtered (row-group-pruned) tstats
-        read, cached across requests."""
+        read, cached on THE REQUEST'S view (generation-pinned)."""
         import pyarrow.dataset as pds
 
-        ds = self.searcher._dataset("tstats")  # memoized handle, reset on reopen
+        ds = view.searcher._dataset("tstats")  # memoized handle, per view
         has_p1 = "p1" in ds.schema.names
 
         def merge_rows(tt) -> dict[str, float]:
@@ -113,16 +150,16 @@ class SearchApp:
 
         if firsts is None or not has_p1:
             with self._lock:
-                if self._vocab_full is None:
-                    self._vocab_full = merge_rows(ds.to_table(columns=["term", "df"]))
-            full = self._vocab_full
+                if view.vocab_full is None:
+                    view.vocab_full = merge_rows(ds.to_table(columns=["term", "df"]))
+                full = view.vocab_full
             if firsts is None:
                 return full
             # legacy store (no p1): derive the requested first-char buckets
             # from the full vocab ONCE each, so repeat prefix queries don't
             # re-filter the whole dictionary per request
             with self._lock:
-                missing = [c for c in firsts if c not in self._vocab_buckets]
+                missing = [c for c in firsts if c not in view.vocab_buckets]
                 if missing:
                     mset = set(missing)
                     got = {c: {} for c in missing}
@@ -130,13 +167,13 @@ class SearchApp:
                         c = t[:1]
                         if c in mset:
                             got[c][t] = d
-                    self._vocab_buckets.update(got)
+                    view.vocab_buckets.update(got)
                 out: dict[str, float] = {}
                 for c in firsts:
-                    out.update(self._vocab_buckets.get(c, {}))
+                    out.update(view.vocab_buckets.get(c, {}))
                 return out
         with self._lock:
-            missing = [c for c in firsts if c not in self._vocab_buckets]
+            missing = [c for c in firsts if c not in view.vocab_buckets]
             if missing:
                 tt = ds.to_table(filter=pds.field("p1").isin(missing),
                                  columns=["term", "df", "p1"])
@@ -146,26 +183,28 @@ class SearchApp:
                     b = got[c]
                     if d > b.get(t, -1):
                         b[t] = d
-                self._vocab_buckets.update(got)
+                view.vocab_buckets.update(got)
             out: dict[str, float] = {}
             for c in firsts:
-                out.update(self._vocab_buckets.get(c, {}))
+                out.update(view.vocab_buckets.get(c, {}))
             return out
 
     def search(self, q: str, k: int = 10, mode: str = "or",
                highlight: bool = False, fuzzy: bool = False,
                prefix_length: int = 0, offset: int = 0) -> list[dict]:
         self._maybe_reload()
-        # pin THIS generation's cache dict: if a concurrent reload swaps in a
-        # fresh store while we compute, the result lands in the orphaned old
-        # dict (garbage-collected), never in the new generation's cache —
-        # a stale response can't outlive the store it came from
-        cache = self._result_cache
+        # capture ONE generation's view: the whole request (analyze → rank →
+        # doc fetch → cache insert) runs against it, so a concurrent reload
+        # can neither mix generations inside the request nor receive this
+        # request's (now stale) result into the fresh caches
+        view = self._view
+        cache = view.result_cache
         key = (q, k, mode, highlight, fuzzy, prefix_length, offset)
         cached = cache.get(key)
         if cached is not None:
             return cached
-        out = self._search_uncached(q, k, mode, highlight, fuzzy, prefix_length, offset)
+        out = self._search_uncached(view, q, k, mode, highlight, fuzzy,
+                                    prefix_length, offset)
         with self._lock:
             cache.pop(key, None)
             cache[key] = out
@@ -173,11 +212,12 @@ class SearchApp:
                 cache.pop(next(iter(cache)))
         return out
 
-    def _search_uncached(self, q: str, k: int, mode: str, highlight: bool,
-                         fuzzy: bool, prefix_length: int, offset: int) -> list[dict]:
+    def _search_uncached(self, view: _StoreView, q: str, k: int, mode: str,
+                         highlight: bool, fuzzy: bool, prefix_length: int,
+                         offset: int) -> list[dict]:
         if len(q.strip()) < 3:  # length guard (web/app.py:30-31)
             return []
-        terms = self.analyzer.analyze_py(q)
+        terms = view.analyzer.analyze_py(q)
         if not terms:
             return []
         if fuzzy:
@@ -188,12 +228,12 @@ class SearchApp:
             from ucuddle_search_engine_spark.operators.fuzzy import expand_terms_py
 
             firsts = sorted({t[:1] for t in terms if t}) if prefix_length >= 1 else None
-            vocab = self._vocab(firsts)
+            vocab = self._vocab(view, firsts)
             terms = expand_terms_py(vocab, terms, prefix_length=prefix_length)
             if not terms:
                 return []
             mode = "or"
-        hits = self.searcher.search_local(terms, k=k, mode=mode, offset=offset)
+        hits = view.searcher.search_local(terms, k=k, mode=mode, offset=offset)
         if not hits:
             return []
         import pyarrow.dataset as pds
@@ -201,7 +241,7 @@ class SearchApp:
         ids = [d for d, _ in hits]
         want_snippets = highlight and os.path.isdir(os.path.join(self.store_dir, "postings"))
         cols = ["doc_id", "title", "repo", "path"] + (["content"] if want_snippets else [])
-        tbl = pds.dataset(os.path.join(self.store_dir, "docs"), partitioning="hive").to_table(
+        tbl = view.searcher._dataset("docs").to_table(
             filter=pds.field("doc_id").isin(ids), columns=cols,
         )
         meta = {row["doc_id"]: row for row in tbl.to_pylist()}
@@ -212,7 +252,7 @@ class SearchApp:
             # sidecar read is a term+id-filtered pushdown scan, never the corpus
             from ucuddle_search_engine_spark.operators.highlight import _snippet
 
-            pt_ds = self.searcher._dataset("postings")  # memoized, reset on reopen
+            pt_ds = view.searcher._dataset("postings")  # memoized, per view
             flt = (pds.field("term").isin(terms) & pds.field("doc_id").isin(ids)
                    & (pds.field("field") == 0))
             if "tb" in pt_ds.schema.names:
@@ -226,7 +266,9 @@ class SearchApp:
             for row in pt.to_pylist():
                 pos.setdefault(row["doc_id"], []).extend(row["positions"])
             for d, p in pos.items():
-                snippets[d] = _snippet(meta[d]["content"], sorted(p))
+                m = meta.get(d)
+                if m is not None:  # defensive: sidecar row without a doc row
+                    snippets[d] = _snippet(m["content"], sorted(p))
         out = []
         for doc_id, score in hits:
             m = meta.get(doc_id, {})

@@ -735,7 +735,9 @@ def test_serve_concurrent_requests_and_reload(spark, corpus, tmp_path_factory):
     )
     for t in threads:
         t.join(timeout=120)
-    stop.set()
+    hung = [t for t in threads if t.is_alive()]
+    stop.set()  # release any hung worker before failing
+    assert not hung, f"{len(hung)} worker thread(s) hung (deadlock?)"
     assert not errors, errors[:3]
     post = tuple((h["doc_id"], h["score"]) for h in app.search("t0 t1", k=5, mode="or"))
     assert dead not in [d for d, _ in post]

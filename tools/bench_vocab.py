@@ -32,7 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F  # noqa: E402
 
 from ucuddle_search_engine_spark.functions.hashing import term_buckets  # noqa: E402
-from ucuddle_search_engine_spark.plans.build_index import TERM_BUCKETS, write_tstats  # noqa: E402
+from ucuddle_search_engine_spark.plans.build_index import write_tstats  # noqa: E402
 from ucuddle_search_engine_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/repo/.data/vocab_bench"

@@ -109,20 +109,24 @@ def merge_many(spark: SparkSession, stores: list[str], out_dir: str,
     # column UNION across inputs (first-seen order), missing columns backfilled
     # as typed nulls — so merging a newer store (e.g. with added_at) with an
     # older one neither raises nor silently drops the newer column, whichever
-    # order the stores are listed in
+    # order the stores are listed in. A column whose TYPE differs across
+    # stores refuses loudly (a silent cast could null or truncate data).
     dtypes: dict[str, str] = {}
-    for d in docs_list:
+    for s_path, d in zip(stores, docs_list):
         for c, t in d.dtypes:
-            dtypes.setdefault(c, t)
+            prev = dtypes.setdefault(c, t)
+            if prev != t:
+                raise ValueError(
+                    f"refusing to merge: docs column {c!r} is {prev!r} in an "
+                    f"earlier store but {t!r} in {s_path} — align the schemas "
+                    f"(admin.py alter) before merging"
+                )
     cols = list(dtypes)
     tagged = None
     for i, d in enumerate(docs_list):
         t = d.select(
             *[
-                # cast present columns too: a store whose shared column
-                # drifted type unions against the first-seen type instead of
-                # failing in unionByName
-                F.col(c).cast(dtypes[c]).alias(c) if c in d.columns
+                F.col(c) if c in d.columns
                 else F.lit(None).cast(dtypes[c]).alias(c)
                 for c in cols
             ]

@@ -46,6 +46,9 @@ def build_routed_stores(
     (web/elastic_interaction.py:53-57). None (default) keeps the stricter
     empty-result behavior."""
     langs = sorted(r[0] for r in corpus.select(lang_col).distinct().collect())
+    # validate BEFORE the expensive per-language builds, not after
+    if fallback_lang is not None and fallback_lang not in langs:
+        raise ValueError(f"fallback_lang {fallback_lang!r} has no store (langs={langs})")
     amap = {**{lang: ANALYZERS.get(lang) for lang in langs}, **(analyzers or {})}
     stats = {}
     for lang in langs:
@@ -54,8 +57,6 @@ def build_routed_stores(
             spark, sub, os.path.join(out_dir, f"lang={lang}"),
             n_units=n_units, num_shards=num_shards, analyzer=amap.get(lang),
         )
-    if fallback_lang is not None and fallback_lang not in langs:
-        raise ValueError(f"fallback_lang {fallback_lang!r} has no store (langs={langs})")
     with open(os.path.join(out_dir, "routing.json"), "w") as f:
         json.dump({"langs": langs, "lang_col": lang_col, "fallback": fallback_lang}, f)
     return stats
@@ -85,8 +86,12 @@ class RoutedStores:
         fallback store when routing.json carries one (the reference's
         else-branch routes unknown languages to ru,
         web/elastic_interaction.py:53-57), else an empty result."""
+        detected = lang is None
         lang = lang or detect_lang(query)
-        if lang not in self.searchers and self.fallback is not None:
+        # the fallback mirrors the reference's unknown-DETECTED-language
+        # branch only; an EXPLICIT missing lang stays a strict empty result
+        # (silently answering from another language's store would mislabel)
+        if lang not in self.searchers and detected and self.fallback is not None:
             lang = self.fallback
         if lang not in self.searchers:
             return self._spark.createDataFrame([], "doc_id long, score double")
