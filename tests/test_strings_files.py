@@ -60,3 +60,40 @@ def test_json_sink_roundtrip(spark, tmp_path):
     write_json_debug(df, out)
     back = spark.read.json(out)
     assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_md5_prefix_column_python_parity(spark):
+    """EVERY pruned read depends on the writer's Column-side bucket hash
+    (md5_prefix_long) equaling the reader's Python-side one
+    (md5_prefix_long_py): a divergence would silently prune to the WRONG
+    directory and return empty results for affected terms. Pin the parity on
+    adversarial inputs (ascii, digits, cyrillic, long, 1-char, unicode)."""
+    import random
+
+    from ucuddle_search_engine_spark.functions.hashing import (
+        md5_prefix_long,
+        md5_prefix_long_py,
+        term_buckets,
+    )
+    from ucuddle_search_engine_spark.plans.build_index import TERM_BUCKETS
+
+    rng = random.Random(11)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789абвгдеёжзийклмнопрстуфхцчшщыьэюяєіїґß€"
+    words = sorted({
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 24)))
+        for _ in range(300)
+    } | {"a", "0", "я", "t" * 64})
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    got = {r["t"]: r["h"] for r in df.select("t", md5_prefix_long("t").alias("h")).collect()}
+    for w in words:
+        assert got[w] == md5_prefix_long_py(w), w
+    # and the reader-side bucket helper matches the writer-side column math
+    from pyspark.sql import functions as F
+
+    col_buckets = {
+        r["t"]: r["b"] for r in df.select(
+            "t", F.pmod(md5_prefix_long("t"), F.lit(TERM_BUCKETS)).cast("int").alias("b")
+        ).collect()
+    }
+    for w in words:
+        assert term_buckets([w]) == [col_buckets[w]], w
