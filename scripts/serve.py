@@ -51,7 +51,8 @@ class _StoreView:
     mix generations inside a request or poison the new generation's caches —
     late writes land in the orphaned old view and are garbage-collected."""
 
-    __slots__ = ("searcher", "analyzer", "result_cache", "vocab_full", "vocab_buckets")
+    __slots__ = ("searcher", "analyzer", "result_cache", "vocab_full",
+                 "vocab_buckets", "tstats_rows")
 
     def __init__(self, store_dir: str):
         self.searcher = SegmentSearcher.open_local(store_dir)
@@ -64,6 +65,9 @@ class _StoreView:
         # tstats read each) for prefix>=1
         self.vocab_full: dict[str, float] | None = None
         self.vocab_buckets: dict[str, dict[str, float]] = {}
+        # memoized tstats row count (parquet-metadata-only), for the
+        # full-vocab guard below
+        self.tstats_rows: int | None = None
 
 
 class SearchApp:
@@ -149,10 +153,18 @@ class SearchApp:
             return out
 
         if firsts is None or not has_p1:
-            with self._lock:
-                if view.vocab_full is None:
-                    view.vocab_full = merge_rows(ds.to_table(columns=["term", "df"]))
-                full = view.vocab_full
+            # Build the full vocab OUTSIDE the lock (the to_table read can be
+            # seconds on a large dictionary — holding the app-wide lock would
+            # stall every concurrent request and reload for the duration),
+            # then publish under the lock with a re-check so a racing builder
+            # wins exactly once and the loser's table is dropped.
+            full = view.vocab_full
+            if full is None:
+                built = merge_rows(ds.to_table(columns=["term", "df"]))
+                with self._lock:
+                    if view.vocab_full is None:
+                        view.vocab_full = built
+                    full = view.vocab_full
             if firsts is None:
                 return full
             # legacy store (no p1): derive the requested first-char buckets
@@ -188,6 +200,19 @@ class SearchApp:
             for c in firsts:
                 out.update(view.vocab_buckets.get(c, {}))
             return out
+
+    # above this many dictionary terms, fuzzy prefix_length=0 is forced to 1
+    # on p1-partitioned stores (see _search_uncached) — 2M terms ≈ tens of MB
+    # of dict, the comfortable single-process ceiling
+    VOCAB_FULL_CAP = 2_000_000
+
+    def _vocab_too_big(self, view: _StoreView) -> bool:
+        ds = view.searcher._dataset("tstats")
+        if "p1" not in ds.schema.names:
+            return False  # legacy flat store: small by construction
+        if view.tstats_rows is None:
+            view.tstats_rows = ds.count_rows()  # parquet metadata only
+        return view.tstats_rows > self.VOCAB_FULL_CAP
 
     def search(self, q: str, k: int = 10, mode: str = "or",
                highlight: bool = False, fuzzy: bool = False,
@@ -227,6 +252,15 @@ class SearchApp:
             # prefix_length>=1 only the query terms' first-char buckets load.
             from ucuddle_search_engine_spark.operators.fuzzy import expand_terms_py
 
+            if prefix_length == 0 and self._vocab_too_big(view):
+                # Guard for the tb-layout stores built for 10^8+-term
+                # dictionaries: a prefix_length=0 expansion needs the WHOLE
+                # vocabulary in serving RAM — O(vocabulary) memory and a
+                # full-dictionary scan per cold query. Above the cap we force
+                # prefix_length=1 (ES-style index-level safeguard; matches
+                # must then share the first character), which turns the read
+                # into |q| pruned first-char buckets.
+                prefix_length = 1
             firsts = sorted({t[:1] for t in terms if t}) if prefix_length >= 1 else None
             vocab = self._vocab(view, firsts)
             terms = expand_terms_py(vocab, terms, prefix_length=prefix_length)
@@ -299,13 +333,18 @@ class RoutedSearchApp:
 
     def _open(self) -> None:
         path = os.path.join(self.root_dir, "routing.json")
+        # snapshot the mtime BEFORE reading (SearchApp._open's
+        # generation-before-read ordering): a write landing between read and
+        # stat then leaves a stale token, so the NEXT request reopens —
+        # stat-after-read would silently absorb that write forever
+        mtime = os.stat(path).st_mtime_ns
         with open(path) as f:
             meta = json.load(f)
         self.langs = meta["langs"]
         # the reference's else-branch: unknown-language queries go to a
         # configured default store (ru there, web/elastic_interaction.py:53-57)
         self.fallback = meta.get("fallback")
-        self._routing_mtime = os.stat(path).st_mtime_ns
+        self._routing_mtime = mtime
         self.apps = {
             lang: SearchApp(os.path.join(self.root_dir, f"lang={lang}"))
             for lang in self.langs
@@ -349,16 +388,25 @@ def make_handler(app: SearchApp):
                     body = {"docs": app.n_docs()}
                 elif u.path == "/search":
                     qs = parse_qs(u.query)
+                    try:
+                        # malformed numerics (?k=abc) are a client error — a
+                        # clean 400, not a ValueError-turned-500 traceback
+                        k = min(int(qs.get("k", ["10"])[0]), 100)
+                        prefix = min(int(qs.get("prefix", ["0"])[0]), 8)
+                        offset = max(int(qs.get("from", ["0"])[0]), 0)
+                    except ValueError:
+                        self.send_error(400, "k/prefix/from must be integers")
+                        return
                     body = app.search(
                         q=qs.get("q", [""])[0],
-                        k=min(int(qs.get("k", ["10"])[0]), 100),
+                        k=k,
                         mode=qs.get("mode", ["or"])[0],
                         highlight=qs.get("highlight", ["0"])[0] == "1",
                         fuzzy=qs.get("fuzzy", ["0"])[0] == "1",
-                        prefix_length=min(int(qs.get("prefix", ["0"])[0]), 8),
+                        prefix_length=prefix,
                         # ES from+size pagination (search_local's offset
                         # contract: shards return offset+k, merge skips offset)
-                        offset=max(int(qs.get("from", ["0"])[0]), 0),
+                        offset=offset,
                     )
                 else:
                     self.send_error(404)

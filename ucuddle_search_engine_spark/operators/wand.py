@@ -398,14 +398,17 @@ def _aggregate_scores(docs_all: np.ndarray, contribs: np.ndarray):
     no sort — replaces unique + scatter-add whenever the id space is
     reasonably dense; both accumulate per input order, so the float sums are
     bit-identical. The unique path stays as the fallback for arbitrary ids.
-    A matched doc's score is strictly > 0 (idf > 0 always: log(1 + x) with
-    x > 1; tf ≥ 1), so flatnonzero recovers exactly the matched set."""
+    The matched set is recovered from an UNWEIGHTED bincount, not from the
+    score sums: a caller may zero a field boost (weight_idf = 0), and a doc
+    matched only through such a list must still appear with score 0.0 —
+    exactly as the unique branch reports it — rather than vanish when the
+    dense branch happens to be picked."""
     if not len(docs_all):
         return np.empty(0, np.int64), np.empty(0, np.float64)
     mx = int(docs_all.max())
     if 0 <= int(docs_all.min()) and mx + 1 <= max(4 * len(docs_all), 1 << 20):
         dense = np.bincount(docs_all, weights=contribs, minlength=mx + 1)
-        uniq = np.flatnonzero(dense)
+        uniq = np.flatnonzero(np.bincount(docs_all, minlength=mx + 1))
         return uniq.astype(np.int64), dense[uniq]
     uniq, inv = np.unique(docs_all, return_inverse=True)
     scores = np.zeros(len(uniq), dtype=np.float64)
