@@ -31,7 +31,7 @@ from ucuddle_search_engine_spark.operators.dedup import (
 )
 from ucuddle_search_engine_spark.operators.multimodal import attach_fake_payload, extract_features
 from ucuddle_search_engine_spark.operators.pagerank import pagerank
-from ucuddle_search_engine_spark.operators.routing import LangRoutedIndex
+from ucuddle_search_engine_spark.operators.routing import LangRoutedIndex, detect_lang
 from ucuddle_search_engine_spark.operators.segments import build_segments
 from ucuddle_search_engine_spark.operators.wand import SegmentSearcher
 from ucuddle_search_engine_spark.sources.testdata import load_table
@@ -131,7 +131,7 @@ def _text_stats_sql() -> str:
     The vote tokenizes over the ASCII+Cyrillic alphabet (vtoks); counting /
     fingerprint stay on the ASCII TOKEN_PATTERN (toks)."""
     from ucuddle_search_engine_spark.functions.textstats import (
-        STOPWORDS, VOTE_TOKEN_PATTERN)
+        STOPWORDS, VOTE_TOKEN_PATTERN, charset_prior_sql)
 
     langs = sorted(STOPWORDS)
     hits_list = ", ".join(f"hits_{l}" for l in langs)
@@ -140,6 +140,7 @@ def _text_stats_sql() -> str:
         f"CASE WHEN hits_{l} = {best} THEN 1 ELSE 0 END" for l in langs)
     pick = "\n                            ".join(
         f"WHEN hits_{l} = best THEN '{l}'" for l in langs)
+    prior = charset_prior_sql("text")
     return f"""
             WITH base AS (
               SELECT doc_id, text,
@@ -167,7 +168,7 @@ def _text_stats_sql() -> str:
                      CAST(n_tok AS BIGINT) AS n_tokens,
                      CASE WHEN best > 0 AND n_at_max = 1 THEN
                        CASE {pick} END
-                     ELSE 'und' END AS lang_pred,
+                     ELSE {prior} END AS lang_pred,
                      (CASE WHEN n_tok >= 20 AND n_tok <= 10000 THEN 1.0
                            WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END
                       + CASE WHEN n_tok > 0 AND alpha_chars / n_tok >= 2.0 AND alpha_chars / n_tok <= 12.0
@@ -1297,11 +1298,29 @@ def q_lang_routed_search_cyrillic(spark, sf_dir):
     return router.search(CYRILLIC_QUERY, k=10, mode="or", round_dp=6)
 
 
+# the most common real query shape: 2-3 content words, ZERO stopwords — the
+# stopword vote is blind to it, so routing rides on the charset prior
+# (textstats.charset_prior), exactly what the reference's n-gram langdetect
+# does for such queries (web/app.py:33)
+NOSTOP_QUERY = "spark window".translate(str.maketrans(RU_TRANSLIT_SRC, RU_TRANSLIT_DST))
+
+
+def q_lang_routed_search_nostop(spark, sf_dir):
+    """Stopword-free Cyrillic query routed by the charset prior to the ru
+    store (shared-alphabet text with no uk marks falls to ru — the
+    reference's default store, web/elastic_interaction.py:53-57) and scored
+    with the russian analyzer's BM25 over the ru subset."""
+    docs = _mixed_lang_docs(load_table(spark, sf_dir, "documents"))
+    router = LangRoutedIndex(docs)
+    assert detect_lang(NOSTOP_QUERY) == "ru"  # the prior, not the vote
+    return router.search(NOSTOP_QUERY, k=10, mode="or", round_dp=6)
+
+
 def _lang_routed_sql(k: int = 10, lang: str = "en", query: str | None = None,
                      docs_sql: str = "SELECT doc_id, text FROM documents") -> str:
     from ucuddle_search_engine_spark.functions.analyze import ANALYZERS
     from ucuddle_search_engine_spark.functions.textstats import (
-        STOPWORDS, VOTE_TOKEN_PATTERN)
+        STOPWORDS, VOTE_TOKEN_PATTERN, charset_prior_sql)
 
     an = ANALYZERS[lang]
     terms = sorted(set(an.analyze_py(query if query is not None else ROUTED_QUERY)))
@@ -1314,6 +1333,7 @@ def _lang_routed_sql(k: int = 10, lang: str = "en", query: str | None = None,
     best = f"greatest({', '.join('hits_' + lang for lang in langs)})"
     n_at_max = " + ".join(f"CASE WHEN hits_{lang} = {best} THEN 1 ELSE 0 END" for lang in langs)
     pick = " ".join(f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs)
+    prior = charset_prior_sql("text")
     return f"""
 WITH docs_src AS ({docs_sql}),
 base AS (
@@ -1328,7 +1348,7 @@ hits AS (
 endocs AS (
   SELECT doc_id, text FROM hits
   WHERE CASE WHEN {best} > 0 AND ({n_at_max}) = 1
-             THEN CASE {pick} END ELSE 'und' END = '{lang}'
+             THEN CASE {pick} END ELSE {prior} END = '{lang}'
 ),
 toks AS (
   SELECT doc_id, unnest({an.tokens_sql('text')}) AS term FROM endocs
@@ -1435,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_lineitem": q_pivot_lineitem,
         "lang_routed_search": q_lang_routed_search,
         "lang_routed_search_cyrillic": q_lang_routed_search_cyrillic,
+        "lang_routed_search_nostop": q_lang_routed_search_nostop,
         "snowball_stems": q_snowball_stems,
         "fuzzy_match": q_fuzzy_match,
         "fuzzy_match_prefix": q_fuzzy_match_prefix,
@@ -1453,6 +1474,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_routed_search": _lang_routed_sql(),
         "lang_routed_search_cyrillic": _lang_routed_sql(
             lang="ru", query=CYRILLIC_QUERY, docs_sql=_MIXED_DOCS_SQL),
+        "lang_routed_search_nostop": _lang_routed_sql(
+            lang="ru", query=NOSTOP_QUERY, docs_sql=_MIXED_DOCS_SQL),
         "snowball_stems": _snowball_stems_sql(),
         "fuzzy_match": _fuzzy_sql(),
         "fuzzy_match_prefix": _fuzzy_sql(prefix_length=1),

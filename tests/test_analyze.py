@@ -142,6 +142,53 @@ def test_lang_routing(spark):
     assert detect_lang("the windows and streams for customers") == "en"
     assert detect_lang("el sistema para los datos") == "es"
     assert detect_lang("xyzzy 123") == "und"
+    # charset prior: stopword-free Cyrillic queries (the most common real
+    # shape — 2-3 content words) still route, like the reference's n-gram
+    # langdetect (web/app.py:33): uk marks і/ї/є/ґ pick uk, ы/э/ъ/ё pick ru,
+    # shared-alphabet text falls to ru (the reference's default store)
+    assert detect_lang("погода львів") == "uk"
+    assert detect_lang("выходные москва") == "ru"
+    assert detect_lang("окна потоков") == "ru"
+    assert detect_lang("okna zzz окна") == "und"  # Latin-dominant stays und
+
+
+def test_charset_prior_three_form_parity(spark):
+    """Python / Column / DuckDB-SQL renderings of lang_id (with the charset
+    prior under the vote) agree on every probe string."""
+    import duckdb
+
+    from ucuddle_search_engine_spark.functions.textstats import (
+        charset_prior_sql, lang_id)
+    from ucuddle_search_engine_spark.operators.routing import detect_lang
+
+    probes = [
+        "the windows and streams for customers",   # vote: en
+        "и вот окна закрываются",                  # vote: ru
+        "погода львів",                            # prior: uk (і)
+        "виправлення помилок і їх перевірка",      # vote or prior: uk
+        "выходные москва",                         # prior: ru (ы)
+        "окна потоков",                            # prior: shared → ru
+        "okna zzz окна",                           # latin-dominant → und
+        "xyzzy 123", "", "ПОГОДА ЛЬВІВ",           # case-folding path
+    ]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(probes)], "i long, text string")
+    col_got = {r["i"]: r["l"] for r in df.select("i", lang_id("text").alias("l")).collect()}
+    con = duckdb.connect()
+    # SQL form: vote is inconclusive for pure-prior probes, so exercising
+    # charset_prior_sql directly on each probe checks the prior's rendering;
+    # the full vote+prior SQL is exercised by the text_stats oracle
+    from ucuddle_search_engine_spark.functions.textstats import charset_prior_py
+
+    for i, p in enumerate(probes):
+        py = detect_lang(p)
+        assert col_got[i] == py, f"Column vs Python mismatch on {p!r}"
+        lit = "'" + p.replace("'", "''") + "'"
+        sql_prior = con.execute(f"SELECT {charset_prior_sql(lit)}").fetchone()[0]
+        assert sql_prior == charset_prior_py(p), f"SQL vs Python prior mismatch on {p!r}"
+
+
+def test_lang_routed_index(spark):
+    from ucuddle_search_engine_spark.operators.routing import LangRoutedIndex
 
     docs = spark.createDataFrame(
         [

@@ -263,6 +263,31 @@ def test_ann_ivf_store_partition_pruning(spark, emb, tmp_path):
     assert any("PartitionFilters" in ln and "_cell" in ln for ln in plan.splitlines()), plan[:1200]
 
 
+def test_ann_lsh_store_partition_pruning(spark, emb, tmp_path):
+    """A written hyperplane-LSH index answers probes with DIRECTORY pruning
+    (PartitionFilters on _bucket) — the per-query full-corpus signature scan
+    of cosine_topk_lsh becomes an O(probed fraction) read — and results are
+    rank-identical to the one-shot path (same planes, probes, scoring)."""
+    from ucuddle_search_engine_spark.operators.ann import LSHIndex, cosine_topk_lsh
+
+    dim = len(emb.first()["embedding"])
+    idx = LSHIndex(emb, dim=dim, n_planes=4)
+    path = str(tmp_path / "lsh")
+    idx.write(path)
+    loaded = LSHIndex.load(spark, path)
+    for qid in [0, 7, 42]:
+        q = list(emb.filter(emb.vec_id == qid).first()["embedding"])
+        got = [(r["vec_id"], r["cosine"]) for r in loaded.topk(q, k=10).collect()]
+        want = [(r["vec_id"], r["cosine"]) for r in
+                cosine_topk_lsh(emb, q, k=10, n_planes=4).collect()]
+        assert got == want
+    q = list(emb.first()["embedding"])
+    plan = loaded.topk(q, k=10)._sc._jvm.PythonSQLUtils.explainString(
+        loaded.topk(q, k=10)._jdf.queryExecution(), "formatted"
+    )
+    assert any("PartitionFilters" in ln and "_bucket" in ln for ln in plan.splitlines()), plan[:1200]
+
+
 def test_text_stats_shapes(docs, pdocs):
     out = {r["doc_id"]: r for r in text_stats(docs).collect()}
     import re

@@ -115,6 +115,11 @@ def test_routed_serve_detects_and_routes(spark, bilingual, tmp_path_factory):
     assert ru_hits and all(h["lang"] == "ru" for h in ru_hits)
     en_hits = app.search("the closing window for a customer", k=5)
     assert en_hits and all(h["lang"] == "en" for h in en_hits)
+    # stopword-free Cyrillic (the reference's most common real query shape):
+    # the charset prior routes it to ru, same hits as the voted form's terms
+    nostop_hits = app.search("окна потоков", k=5)
+    assert nostop_hits and all(h["lang"] == "ru" for h in nostop_hits)
+    assert {h["doc_id"] for h in nostop_hits} == {h["doc_id"] for h in ru_hits}
     assert app.search("qqq zzz xxx", k=5) == []  # und → no store
     assert app.n_docs() == 8
 
@@ -136,10 +141,11 @@ def test_routed_serve_fallback_lang(spark, bilingual, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("routed_fb"))
     build_routed_stores(spark, bilingual, out, n_units=1, fallback_lang="ru")
     app = RoutedSearchApp(out)
-    # Cyrillic content words, zero stopword hits → detect_lang = 'und'
+    # zero stopword hits AND Latin-dominant script (the charset prior only
+    # fires on Cyrillic-dominant text) → detect_lang = 'und'
     from ucuddle_search_engine_spark.operators.routing import detect_lang
 
-    q = "окна потоков"
+    q = "okna zzz qqq окна"
     assert detect_lang(q) == "und"
     hits = app.search(q, k=5)
     assert hits and all(h["lang"] == "ru" for h in hits)

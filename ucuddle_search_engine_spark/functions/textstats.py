@@ -9,6 +9,8 @@ SQL-oracle-replayable); no Python in the hot path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -74,18 +76,75 @@ def stopword_hits(text: Column | str, lang: str) -> Column:
     return F.size(F.array_intersect(vote_tokens_col(text), sw))
 
 
+# --- script/charset prior (applies UNDER the stopword vote) ----------------
+# The reference's langdetect (web/app.py:33) is an n-gram classifier: it
+# routes a stopword-free Cyrillic query ("погода львів") to uk/ru, which a
+# pure stopword vote cannot. When the vote is inconclusive, a charset prior
+# decides: Cyrillic-dominant text picks the Cyrillic family, and the
+# discriminating characters pick the member — і/ї/є/ґ exist only in
+# Ukrainian, ы/э/ъ/ё only in Russian. A Cyrillic text with neither set (the
+# shared-alphabet case) falls to 'ru', mirroring the reference's default
+# store (web/elastic_interaction.py:53-57 routes non-uk to rus-news-sites).
+# Latin-script text stays 'und' (en/de/fr/es are not separable without
+# stopwords). Same character classes in Java regex (Spark), Python re, and
+# RE2 (DuckDB): literal chars + one BMP range, no \p escapes.
+CYR_CHARS = "а-яёіїєґ"
+LAT_CHARS = "a-z"
+UK_MARK_CHARS = "іїєґ"
+RU_MARK_CHARS = "ыэъё"
+
+_CYR_RE = re.compile(f"[{CYR_CHARS}]")
+_LAT_RE = re.compile(f"[{LAT_CHARS}]")
+_UK_RE = re.compile(f"[{UK_MARK_CHARS}]")
+_RU_RE = re.compile(f"[{RU_MARK_CHARS}]")
+
+
+def _class_count(text: Column, chars: str) -> Column:
+    return F.length(F.regexp_replace(text, f"[^{chars}]", ""))
+
+
+def charset_prior(text: Column | str) -> Column:
+    """Column form of the script prior: 'uk' / 'ru' / 'und'."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    cyr = _class_count(c, CYR_CHARS)
+    lat = _class_count(c, LAT_CHARS)
+    uk = _class_count(c, UK_MARK_CHARS)
+    ru = _class_count(c, RU_MARK_CHARS)
+    return F.when(cyr > lat, F.when(uk > ru, F.lit("uk")).otherwise(F.lit("ru"))) \
+        .otherwise(F.lit("und"))
+
+
+def charset_prior_py(text: str) -> str:
+    """Plain-Python mirror (query side: routing.detect_lang, serve.py)."""
+    t = text.lower()
+    if len(_CYR_RE.findall(t)) > len(_LAT_RE.findall(t)):
+        return "uk" if len(_UK_RE.findall(t)) > len(_RU_RE.findall(t)) else "ru"
+    return "und"
+
+
+def charset_prior_sql(text_expr: str) -> str:
+    """DuckDB-SQL rendering — the single source the oracle builders splice,
+    so the three forms cannot drift."""
+    def cnt(chars: str) -> str:
+        return f"length(regexp_replace(lower({text_expr}), '[^{chars}]', '', 'g'))"
+
+    return (f"CASE WHEN {cnt(CYR_CHARS)} > {cnt(LAT_CHARS)} THEN "
+            f"CASE WHEN {cnt(UK_MARK_CHARS)} > {cnt(RU_MARK_CHARS)} "
+            f"THEN 'uk' ELSE 'ru' END ELSE 'und' END")
+
+
 def lang_id(text: Column | str) -> Column:
-    """argmax over per-language stopword hits; ties and zero-hit docs resolve
-    to 'und' (undetermined) — deterministic, SQL-replayable."""
+    """argmax over per-language stopword hits; ties and zero-hit docs fall
+    to the charset prior (Cyrillic script → uk/ru; otherwise 'und') —
+    deterministic, SQL-replayable."""
     scores = [(lang, stopword_hits(text, lang)) for lang in sorted(STOPWORDS)]
     best = F.greatest(*[s for _, s in scores])
-    result = F.lit("und")
-    # first lang (alphabetical) holding the unique max wins; ties → 'und'
+    # first lang (alphabetical) holding the unique max wins; ties → prior
     n_at_max = sum([F.when(s == best, 1).otherwise(0) for _, s in scores], F.lit(0))
     pick = F.lit(None).cast("string")
     for lang, s in reversed(scores):
         pick = F.when(s == best, F.lit(lang)).otherwise(pick)
-    return F.when((best > 0) & (n_at_max == 1), pick).otherwise(result)
+    return F.when((best > 0) & (n_at_max == 1), pick).otherwise(charset_prior(text))
 
 
 def quality_score(text: Column | str) -> Column:

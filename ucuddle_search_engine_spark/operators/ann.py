@@ -59,19 +59,80 @@ def lsh_bucket_col(vec_col, planes: np.ndarray):
     return bucket
 
 
-def cosine_topk_lsh(emb: DataFrame, query_vec: list[float], k: int = 10, n_planes: int = 4,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Bucketed ANN: score only vectors in the query's bucket or a 1-bit
-    neighbor. The bucket filter prunes the scan before any dot product."""
-    dim = len(query_vec)
-    planes = _planes(dim, n_planes)
+def _probe_buckets(planes: np.ndarray, query_vec) -> list[int]:
+    """Query bucket + all 1-bit-flip neighbors (multiprobe) — driver-side
+    n_planes dot products, independent of corpus size."""
     qv = np.asarray(query_vec, dtype=np.float64)
     qbucket = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, qv)) > 0)
-    probe = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)]
+    return [qbucket] + [qbucket ^ (1 << i) for i in range(len(planes))]
+
+
+def cosine_topk_lsh(emb: DataFrame, query_vec: list[float], k: int = 10, n_planes: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Bucketed ANN over an UNINDEXED table: score only vectors in the
+    query's bucket or a 1-bit neighbor. The bucket filter prunes before any
+    query dot product, but the signature itself is recomputed per query —
+    use LSHIndex (write once, probe = directory pruning) for a served
+    corpus; this form is the one-shot/oracle path."""
+    planes = _planes(len(query_vec), n_planes)
+    probe = _probe_buckets(planes, query_vec)
     bucketed = emb.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
     return cosine_topk_bruteforce(
         bucketed.filter(F.col("_bucket").isin(probe)), query_vec, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+class LSHIndex:
+    """PERSISTED hyperplane-LSH ANN index — the IVFIndex pattern applied to
+    the sign-bit buckets: the signature is computed ONCE at build, vectors
+    are written partitioned by `_bucket`, and a query's multiprobe list
+    becomes DIRECTORY pruning (PartitionFilters on _bucket, plan-asserted in
+    tests/test_ann_dedup.py). Same planes (seed=42), same probe list, same
+    scoring as cosine_topk_lsh — rank-identical results, but a query reads
+    ~(n_planes+1)/2^n_planes of the corpus instead of projecting all of it
+    through n_planes dot products first."""
+
+    def __init__(self, emb: DataFrame, dim: int, n_planes: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 _assigned: DataFrame | None = None):
+        self.n_planes = n_planes
+        self.dim = dim
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.planes = _planes(dim, n_planes)
+        if _assigned is not None:
+            self.assigned = _assigned  # loaded store: _bucket already materialized
+        else:
+            self.assigned = emb.withColumn(
+                "_bucket", lsh_bucket_col(F.col(vec_col), self.planes))
+
+    def topk(self, query_vec: list[float], k: int = 10) -> DataFrame:
+        probe = _probe_buckets(self.planes, query_vec)
+        pruned = self.assigned.filter(F.col("_bucket").isin(probe))
+        return cosine_topk_bruteforce(pruned, list(query_vec), k=k,
+                                      id_col=self.id_col, vec_col=self.vec_col)
+
+    def write(self, path: str) -> None:
+        import json
+        import os
+
+        self.assigned.repartition("_bucket").write.mode("overwrite") \
+            .partitionBy("_bucket").parquet(os.path.join(path, "buckets"))
+        with open(os.path.join(path, "lsh.json"), "w") as f:
+            json.dump({"n_planes": self.n_planes, "dim": self.dim,
+                       "id_col": self.id_col, "vec_col": self.vec_col}, f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "LSHIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "lsh.json")) as f:
+            meta = json.load(f)
+        assigned = spark.read.parquet(os.path.join(path, "buckets"))
+        return cls(None, dim=meta["dim"], n_planes=meta["n_planes"],
+                   id_col=meta["id_col"], vec_col=meta["vec_col"],
+                   _assigned=assigned)
 
 
 class IVFIndex:
@@ -92,8 +153,10 @@ class IVFIndex:
       corpus.
     """
 
-    # hard ceiling on the driver-side k-means training collect (vectors), in
-    # effect regardless of the caller's sample_rate
+    # ceiling on the driver-side k-means training collect (vectors): the
+    # hash-sample rate bounds the EXPECTED sample size, and a .limit() after
+    # the sample is the hard cutoff; in effect regardless of the caller's
+    # sample_rate
     TRAIN_CAP = 100_000
 
     def __init__(self, emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
@@ -109,15 +172,23 @@ class IVFIndex:
             # This is also what makes the IVF pipeline SQL-oracle-replayable.
             self.centroids = np.asarray(centroids, dtype=np.float64)
         else:
-            # the driver-side k-means collect is UNCONDITIONALLY bounded: the
-            # effective hash-sample rate is raised until the expected sample
-            # is <= TRAIN_CAP, whatever sample_rate the caller passed — an
-            # IVFIndex(emb) on a 100 TB corpus must never collect the corpus
-            n = emb.count()
-            rate = max(sample_rate, -(-n // self.TRAIN_CAP))
+            # the driver-side k-means collect is UNCONDITIONALLY bounded: a
+            # caller-provided sample_rate > 1 is trusted for the EXPECTED
+            # size (no extra corpus pass to count); otherwise one count sizes
+            # the hash-sample rate so the expected sample is <= TRAIN_CAP.
+            # Either way a .limit(TRAIN_CAP) after the sample is the hard
+            # cutoff — an IVFIndex(emb) on a 100 TB corpus never collects
+            # the corpus, and a skewed hash can't overshoot the cap
+            if sample_rate > 1:
+                rate = sample_rate
+            else:
+                n = emb.count()
+                rate = max(1, -(-n // self.TRAIN_CAP))
             sampled = emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(rate)) == 0) \
                 if rate > 1 else emb
-            train = np.array([r[0] for r in sampled.select(vec_col).collect()], dtype=np.float64)
+            train = np.array([r[0] for r in
+                              sampled.select(vec_col).limit(self.TRAIN_CAP).collect()],
+                             dtype=np.float64)
             self.train_size_ = len(train)
             train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
             rng = np.random.RandomState(SEED)

@@ -26,24 +26,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.analyze import ANALYZERS, Analyzer, IDENTITY_ANALYZER
-from ..functions.textstats import STOPWORDS, VOTE_TOKEN_PATTERN, lang_id
+from ..functions.textstats import (STOPWORDS, VOTE_TOKEN_PATTERN,
+                                   charset_prior_py, lang_id)
 from .bm25 import InvertedIndex
 
 _TOKEN_RE = re.compile(VOTE_TOKEN_PATTERN)
 
 
 def detect_lang(query: str) -> str:
-    """Python mirror of functions.textstats.lang_id (distinct-stopword vote
-    over the ASCII+Cyrillic alphabet; unique max wins, ties and zero hits →
-    'und'). Covers en/de/fr/es/ru/uk — the reference's langdetect branch
-    (web/app.py:33) routes exactly the uk/ru queries this now detects."""
+    """Python mirror of functions.textstats.lang_id: distinct-stopword vote
+    over the ASCII+Cyrillic alphabet (unique max wins); inconclusive votes
+    fall to the charset prior, so a stopword-free Cyrillic query — the most
+    common real query shape, 2-3 content words — still routes to uk/ru
+    exactly like the reference's n-gram langdetect branch (web/app.py:33).
+    Covers en/de/fr/es/ru/uk."""
     toks = set(_TOKEN_RE.findall(query.lower()))
     hits = {lang: len(toks & set(sw)) for lang, sw in STOPWORDS.items()}
     best = max(hits.values())
     at_max = sorted(lang for lang, h in hits.items() if h == best)
     if best > 0 and len(at_max) == 1:
         return at_max[0]
-    return "und"
+    return charset_prior_py(query)
 
 
 class LangRoutedIndex:
