@@ -65,6 +65,65 @@ def test_uk_snowball_basics():
     assert st("ттт") == "ттт"
 
 
+# Golden Ukrainian case paradigms (standard school-grammar inflection tables —
+# public linguistic knowledge; there is no official Snowball ukrainian and the
+# sandbox has no morfologik dump, so the measurable fidelity property is
+# PARADIGM COHERENCE: all case/person forms of a lemma reach one stem, and
+# distinct lemmas reach distinct stems — the property per-language BM25
+# recall/precision actually depends on).
+UK_GOLDEN_GROUPS = {
+    "вікно": ["вікно", "вікна", "вікну", "вікном", "вікнах"],
+    "система": ["система", "системи", "системі", "систему", "системою", "системах"],
+    "робота": ["робота", "роботи", "роботу", "роботою", "роботах"],
+    "новий": ["новий", "нова", "нове", "нових", "новою", "новому", "нові"],
+    "читати": ["читати", "читала", "читали", "читало", "читаю", "читає", "читаємо", "читають"],
+    "важливий": ["важливий", "важлива", "важливі", "важливих", "важливою"],
+    "швидкий": ["швидкий", "швидка", "швидких", "швидкому"],
+    "місто": ["місто", "міста", "місту", "містом", "містах"],
+    "мова": ["мова", "мови", "мову", "мовою", "мовах"],
+    "інформація": ["інформація", "інформації", "інформацію", "інформацією"],
+    "питання": ["питання", "питань", "питанню", "питаннями"],
+    "країна": ["країна", "країни", "країні", "країну", "країною", "країнах"],
+    "перевірка": ["перевірка", "перевірки", "перевірці", "перевірку", "перевіркою"],
+    "будувати": ["будувати", "будувала", "будували", "будує", "будують", "будуємо"],
+    "зелений": ["зелений", "зелена", "зелене", "зелених", "зеленою"],
+    "пошук": ["пошук", "пошуку", "пошуком", "пошуках"],
+    "результат": ["результат", "результати", "результатів", "результатом", "результатах"],
+    "вчитель": ["вчитель", "вчителя", "вчителю", "вчителем", "вчителях"],
+    "історія": ["історія", "історії", "історію", "історією"],
+    "видання": ["видання", "видань", "виданню", "виданнями"],
+    "життя": ["життя", "життю", "життям"],
+}
+
+
+def test_uk_golden_divergence_bound():
+    """Pins the uk adaptation's measured fidelity bound so regressions
+    surface: ≥18/21 paradigms coherent (85.7%), zero cross-lemma stem
+    collisions. The three known divergences are inherent to suffix-stripping
+    (no dictionary): к→ц dative alternation (перевірці), the -ува verb
+    suffix lost before vowel endings (будує→буд vs будувати→будува — the
+    published russian algorithm behaves identically on -ова/-ует), and the
+    -ати noun-plural vs infinitive ambiguity (результати)."""
+    from collections import Counter
+
+    st = snowball_stem_py("uk")
+    coherent = 0
+    canon: dict[str, str] = {}
+    incoherent: dict[str, dict[str, str]] = {}
+    for lemma, forms in UK_GOLDEN_GROUPS.items():
+        stems = [st(f) for f in forms]
+        top, n = Counter(stems).most_common(1)[0]
+        canon[lemma] = top
+        if n == len(forms):
+            coherent += 1
+        else:
+            incoherent[lemma] = dict(zip(forms, stems))
+    assert coherent >= 18, (coherent, incoherent)
+    assert set(incoherent) <= {"перевірка", "будувати", "результат"}, incoherent
+    vals = list(canon.values())
+    assert len(vals) == len(set(vals)), "cross-lemma stem collision"
+
+
 _CYRILLIC = "абвгдежзийклмнопрстуфхцчшщъыьэюяё"
 _CYR_UK = "абвгґдежзиіїйклмнопрстуфхцчшщьєюя"
 

@@ -63,7 +63,7 @@ class _Cfg:
     superlative: tuple
     derivational: tuple  # region R2 (everything else: RV)
     i_ending: str  # step-2 single-char removal in RV
-    undouble: str  # step-4 doubled consonant (нн → н)
+    undouble: str  # step-4 doubled consonants, one per char (нн → н; uk also тт → т)
     soft: str  # step-4 trailing soft sign
 
 
@@ -130,13 +130,13 @@ UK = _Cfg(
     reflexive=_bylen(("ся", 2), ("сь", 2)),
     adjective=_bylen(
         ("ього", 4), ("ьому", 4), ("ими", 3), ("іми", 3), ("ого", 3),
-        ("ому", 3), ("ему", 3), ("єму", 3), ("их", 2), ("іх", 2), ("ий", 2),
+        ("ому", 3), ("єму", 3), ("их", 2), ("іх", 2), ("ий", 2),
         ("ій", 2), ("им", 2), ("ім", 2), ("ою", 2), ("ею", 2), ("єю", 2),
         ("ої", 2), ("еї", 2), ("єї", 2), ("ая", 2), ("яя", 2), ("еє", 2),
         ("єє", 2),
     ),
     participle=_bylen(
-        ("юч", 2), ("уч", 2), ("ач", 2), ("яч", 2), ("ен", 2), ("єн", 2),
+        ("юч", 2), ("уч", 2), ("ач", 2), ("яч", 2),
         ("вш", 2),
     ),
     verb=_bylen(
@@ -155,8 +155,8 @@ UK = _Cfg(
         ("ете", 3), ("уть", 3), ("ять", 3), ("ать", 3), ("ю", 1),
     ),
     noun=_bylen(
-        ("іями", 4), ("ення", 4), ("ями", 3), ("ами", 3), ("ння", 3),
-        ("ття", 3), ("ією", 3), ("ею", 2), ("ою", 2), ("ій", 2), ("ів", 2),
+        ("іями", 4), ("ями", 3), ("ами", 3), ("ння", 2),
+        ("ття", 2), ("ією", 3), ("ею", 2), ("ою", 2), ("ій", 2), ("ів", 2),
         ("ев", 2), ("єв", 2), ("ов", 2), ("ам", 2), ("ям", 2), ("ах", 2),
         ("ях", 2), ("ом", 2), ("ем", 2), ("єм", 2), ("ію", 2), ("ія", 2),
         ("ії", 2), ("а", 1), ("е", 1), ("є", 1), ("и", 1), ("і", 1), ("ї", 1),
@@ -165,7 +165,12 @@ UK = _Cfg(
     superlative=_bylen(("іше", 3), ("іш", 2)),
     derivational=_bylen(("ість", 4), ("ост", 3)),
     i_ending="і",
-    undouble="н",
+    # н AND т: the productive -ння/-ття abstract-noun classes keep a single
+    # consonant after their nominative ending strips (питання→питан,
+    # життя→жит), so the oblique cases (питанню→питанн, життю→житт)
+    # undouble to the SAME stem — case-paradigm coherence, pinned by
+    # tests/test_snowball.py::test_uk_golden_divergence_bound
+    undouble="нт",
     soft="ь",
 )
 
@@ -208,7 +213,7 @@ def _make_py(cfg: _Cfg):
                 return w[: len(w) - strip], True
         return w, False
 
-    nn = cfg.undouble * 2
+    nn = tuple(c + c for c in cfg.undouble)
 
     def stem(word: str) -> str:
         w = word
@@ -281,7 +286,12 @@ def _try_col(w: Column, endings, start: Column) -> Column:
 def snowball_stem_col(lang: str, tok: Column) -> Column:
     cfg = _CFGS[lang]
     rv_pat, r2_pat = _patterns(cfg)
-    nn = cfg.undouble * 2
+
+    def ends_dbl(w: Column) -> Column:
+        cond = F.lit(False)
+        for c in cfg.undouble:
+            cond = cond | w.endswith(F.lit(c + c))
+        return cond
 
     prep = tok
     for a, b in cfg.norm:
@@ -319,10 +329,10 @@ def snowball_stem_col(lang: str, tok: Column) -> Column:
         return _try_col(w, cfg.derivational, r2)
 
     def step4(w: Column, rv: Column) -> Column:
-        nn_hit = w.endswith(F.lit(nn)) & (F.length(w) - 1 >= rv)
+        nn_hit = ends_dbl(w) & (F.length(w) - 1 >= rv)
 
         def after_sup(sup: Column) -> Column:
-            sup_nn = sup.endswith(F.lit(nn)) & (F.length(sup) - 1 >= rv)
+            sup_nn = ends_dbl(sup) & (F.length(sup) - 1 >= rv)
             return F.when(
                 F.length(sup) < F.length(w), F.when(sup_nn, _strip_col(sup, 1)).otherwise(sup)
             ).otherwise(
@@ -374,7 +384,10 @@ def _try_sql(w: str, endings, start: str) -> str:
 def snowball_stem_sql(lang: str, var: str = "t") -> str:
     cfg = _CFGS[lang]
     rv_pat, r2_pat = _patterns(cfg)
-    nn = cfg.undouble * 2
+
+    def ends_dbl(w: str) -> str:
+        return "(" + " OR ".join(
+            f"ends_with({w}, '{c + c}')" for c in cfg.undouble) + ")"
 
     prep = var
     for a, b in cfg.norm:
@@ -413,13 +426,13 @@ def snowball_stem_sql(lang: str, var: str = "t") -> str:
         sup_branch = _bind_sql(
             _try_sql(w, cfg.superlative, rv), "sup",
             f"CASE WHEN length(sup) < length({w}) THEN "
-            f"(CASE WHEN ends_with(sup, '{nn}') AND length(sup) - 1 >= {rv} "
+            f"(CASE WHEN {ends_dbl('sup')} AND length(sup) - 1 >= {rv} "
             f"THEN {_strip_sql('sup', 1)} ELSE sup END) "
             f"ELSE (CASE WHEN ends_with({w}, '{cfg.soft}') AND length({w}) >= {rv} "
             f"THEN {_strip_sql(w, 1)} ELSE {w} END) END",
         )
         return (
-            f"CASE WHEN ends_with({w}, '{nn}') AND length({w}) - 1 >= {rv} "
+            f"CASE WHEN {ends_dbl(w)} AND length({w}) - 1 >= {rv} "
             f"THEN {_strip_sql(w, 1)} ELSE {sup_branch} END"
         )
 
