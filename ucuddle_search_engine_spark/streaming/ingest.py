@@ -89,3 +89,49 @@ def compact_streamed_postings(
     dstats = doclens_from_docs(docs, fields={FIELD_CONTENT: "content"})
     cstats = collection_stats(dstats)
     return build_segments(remapped, dstats, cstats, num_shards=num_shards, block_size=block_size)
+
+
+def compact_to_store(
+    spark: SparkSession,
+    corpus_dir: str,
+    postings_dir: str,
+    out_dir: str,
+    num_shards: int = 3,
+    block_size: int = 128,
+) -> None:
+    """Compaction point → a full SERVABLE store: the streamed micro-batches
+    become the same on-disk layout a batch build writes (docs +
+    tb-partitioned segments + tstats dictionary + cstats.json), ready for
+    SegmentSearcher.open_local and plans.merge.merge_many. This is the glue
+    of the ES freshness analogue (Refresh:"true",
+    crawler/functs_with_elastic.go:321): stream all day, compact, merge into
+    the served store — tests/test_streaming_multimodal.py drives the whole
+    chain through a live HTTP server without restart."""
+    import json
+    import os
+
+    from ..plans.build_index import TERM_BUCKETS, write_tstats
+
+    os.makedirs(out_dir, exist_ok=True)
+    segs = compact_streamed_postings(
+        spark, corpus_dir, postings_dir, num_shards=num_shards, block_size=block_size
+    ).persist()
+    (
+        segs.withColumn("tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int"))
+        .repartition("tb")
+        .sortWithinPartitions("shard", "term", "field", "block_no")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(os.path.join(out_dir, "segments/unit=0"))
+    )
+    tstats = segs.groupBy("term", "field").agg(F.sum("n").alias("df"))
+    write_tstats(tstats, out_dir)
+    docs = build_docs(spark.read.parquet(corpus_dir), num_shards=num_shards)
+    docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs/unit=0"))
+    dstats = doclens_from_docs(docs, fields={FIELD_CONTENT: "content"})
+    # cstats.json must be EXACTLY what build_segments baked into max_impact
+    # (a diverging avgdl would shift recomputed scores a ULP off the stored
+    # block bounds) — so it comes from the same collection_stats plan
+    with open(os.path.join(out_dir, "cstats.json"), "w") as f:
+        json.dump([r.asDict() for r in collection_stats(dstats).collect()], f)
+    segs.unpersist()
