@@ -264,3 +264,38 @@ def test_head_term_skew_chunking(spark):
     top = [r["doc_id"] for r in s.search_terms(["megaterm"], k=5, mode="or").collect()]
     assert top == [2, 5, 8, 11, 14]
     segs.unpersist()
+
+
+def test_blocklist_cache_paths_identical(segments):
+    """_BlockList with a DecodeCache must return bit-identical arrays to the
+    uncached path for EVERY selection shape — full chain (get_full /
+    get_scored), contiguous and scattered partial selections (run-gather
+    slicing of the memoized chain vs per-block entries), cold and warm."""
+    import numpy as np
+
+    from ucuddle_search_engine_spark.operators.wand import DecodeCache, _BlockList
+
+    pdf = segments.filter("term = 't0' and field = 0").toPandas()
+    pdf = pdf[pdf["shard"] == int(pdf["shard"].iloc[0])]
+    plain = _BlockList(pdf, 1.7, 300.0)
+    cache = DecodeCache()
+    cached = _BlockList(pdf, 1.7, 300.0, cache=cache, ckey=(0, "t0", 0))
+    n = len(plain.ubs)
+    assert n >= 4, "fixture must span several blocks"
+    rng = np.random.RandomState(3)
+    sels = [
+        np.arange(n),                      # full → get_full / get_scored
+        np.arange(0, n, 2),                # scattered, covers ~half
+        np.sort(rng.choice(n, size=max(1, n // 3), replace=False)),
+        np.array([0]),                     # single block (per-block path)
+        np.arange(n // 2, n),              # one contiguous run
+    ]
+    for sel in sels:
+        for meth in ("decode_raw", "decode"):
+            want = getattr(plain, meth)(sel)
+            for _ in range(2):  # cold fill, then warm hit
+                got = getattr(cached, meth)(sel)
+                assert len(want) == len(got)
+                for w, g in zip(want, got):
+                    assert np.array_equal(w, g), (meth, sel[:5], len(sel))
+    assert cache._n <= cache.max_postings

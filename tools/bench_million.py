@@ -43,7 +43,10 @@ def main() -> None:
     if not (Path(STORE) / "build_stats.json").exists():
         corpus = spark.read.parquet(CORPUS)
         t0 = time.time()
-        stats = build_index_resumable(spark, corpus, STORE, n_units=4, num_shards=3)
+        # write_postings: the positional sidecar ships with the store, so
+        # phrase + highlight serve at 1M too (round-5 directive)
+        stats = build_index_resumable(spark, corpus, STORE, n_units=4, num_shards=3,
+                                      write_postings=True)
         out["build_s"] = round(time.time() - t0, 1)
         out["docs_per_sec"] = round(N_DOCS / out["build_s"], 1)
         assert not stats["crashed"]

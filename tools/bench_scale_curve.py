@@ -34,10 +34,12 @@ from ucuddle_search_engine_spark.session import get_spark  # noqa: E402
 SIZES = {
     200_000: "/root/repo/.data/corpus_200000",
     1_000_000: "/root/repo/.data/corpus_1000000",
+    5_000_000: "/root/repo/.data/corpus_5000000",
 }
 STORES = {
     200_000: "/root/repo/.data/store_200k",
     1_000_000: "/root/repo/.data/million_store",
+    5_000_000: "/root/repo/.data/store_5m",
 }
 QUERIES = [(["t0", "t1"], "or"), (["t10", "t40"], "and"), (["t50", "t120", "t300"], "or"),
            (["module", "t3"], "or"), (["t33333"], "or")]
@@ -52,7 +54,11 @@ def main() -> None:
         store = STORES[n]
         if not (Path(store) / "cstats.json").exists():
             t0 = time.time()
-            stats = build_index_resumable(spark, corpus, store, n_units=4)
+            # write_postings: every curve store ships the positional sidecar
+            # (phrase/highlight classes measured at every size — round 5)
+            stats = build_index_resumable(spark, corpus, store,
+                                          n_units=8 if n >= 5_000_000 else 4,
+                                          write_postings=True)
             row["build_s"] = round(time.time() - t0, 1)
             assert not stats["crashed"]
             (Path(store) / "build_stats.json").write_text(
@@ -103,6 +109,15 @@ def main() -> None:
     out["q_serve_p95_growth_5x_corpus"] = round(
         b["q_serve_p95_ms"] / s["q_serve_p95_ms"], 2
     )
+    h = out["sizes"].get("5000000")
+    if h:
+        if h.get("build_docs_per_sec") and b.get("build_docs_per_sec"):
+            out["build_throughput_ratio_5m_vs_1m"] = round(
+                h["build_docs_per_sec"] / b["build_docs_per_sec"], 3
+            )
+        out["q_serve_p95_growth_25x_corpus"] = round(
+            h["q_serve_p95_ms"] / s["q_serve_p95_ms"], 2
+        )
     with open("/root/repo/BENCH/scale_curve.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))

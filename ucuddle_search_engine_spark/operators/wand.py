@@ -60,13 +60,69 @@ class DecodeCache:
 
     __slots__ = ("max_postings", "_d", "_n", "_lock")
 
-    def __init__(self, max_postings: int = 8_000_000):
+    # 16M cached postings ≈ 400 MB worst case (full + scored chains of four
+    # 1M-df head terms fit together) — still a hard bound independent of
+    # corpus and vocabulary size
+    def __init__(self, max_postings: int = 16_000_000):
         import threading
 
         self.max_postings = max_postings
         self._d: dict[tuple, tuple] = {}  # insertion-ordered → LRU via re-insert
         self._n = 0
         self._lock = threading.Lock()
+
+    def _put(self, key: tuple, v: tuple) -> None:
+        with self._lock:
+            old = self._d.pop(key, None)
+            if old is not None:
+                self._n -= len(old[0])
+            self._d[key] = v
+            self._n += len(v[0])
+            self._evict_locked()
+
+    def _touch(self, key: tuple):
+        with self._lock:
+            v = self._d.pop(key, None)
+            if v is not None:
+                self._d[key] = v  # re-insert at LRU tail
+            return v
+
+    def get_full(self, ckey: tuple, doc_bytes, tf_bytes, dl_bytes):
+        """FULL-CHAIN fast path: one cache entry holding the whole chain's
+        concatenated (docs, tfs, dls). Head-term queries select (nearly) every
+        block — assembling 10⁴+ per-block entries (dict traffic + a 10⁴-way
+        concatenate, ×3 arrays) dominated the warm path at 1M docs; a chain
+        hit is three array refs. Misses decode in ONE vectorized concat pass
+        (same cost as the uncached cold path)."""
+        key = (ckey, "__full__")
+        v = self._touch(key)
+        if v is not None:
+            return v
+        v = (
+            decode_doc_ids_concat(list(doc_bytes))[0].astype(np.int64),
+            vb_decode_concat(list(tf_bytes))[0].astype(np.int64),
+            vb_decode_concat(list(dl_bytes))[0].astype(np.int64),
+        )
+        self._put(key, v)
+        return v
+
+    def get_scored(self, ckey: tuple, weight_idf: float, avgdl: float,
+                   doc_bytes, tf_bytes, dl_bytes):
+        """(docs, BM25 contributions) for the whole chain, memoized — the
+        per-posting scoring arithmetic is also static per (store, boosts), so
+        warm head-term queries skip it too. The expression replicates
+        _BlockList.decode verbatim (same float op order → bit-identical
+        scores, rank parity preserved)."""
+        key = (ckey, "__scored__", float(weight_idf), float(avgdl))
+        v = self._touch(key)
+        if v is not None:
+            return v[0], v[1]
+        docs, tfs, dls = self.get_full(ckey, doc_bytes, tf_bytes, dl_bytes)
+        tfs = tfs.astype(np.float64)
+        dls = dls.astype(np.float64)
+        contrib = weight_idf * tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
+        self._put(key, (docs, contrib, None))
+        return docs, contrib
 
     def get_many(self, ckey: tuple, ordinals, doc_bytes, tf_bytes, dl_bytes):
         """(docs, tfs, dls) concatenated over `ordinals` (block ids within one
@@ -283,7 +339,11 @@ class _BlockList:
 
     __slots__ = ("ubs", "min_docs", "max_docs", "ns", "weight_idf", "avgdl",
                  "doc_bytes", "tf_bytes", "dl_bytes", "_range_exact", "_sparse",
-                 "_cache", "_ckey")
+                 "_cache", "_ckey", "_starts")
+
+    # a selection covering ≥ this fraction of the chain's postings routes
+    # through the full-chain cache + run-gather instead of per-block entries
+    FULL_FRAC = 0.5
 
     def __init__(self, blocks: pd.DataFrame, weight_idf: float, avgdl: float,
                  cache: "DecodeCache | None" = None, ckey: tuple | None = None):
@@ -300,6 +360,7 @@ class _BlockList:
         self.tf_bytes = list(blocks["tf_bytes"])
         self.dl_bytes = list(blocks["dl_bytes"])
         self._sparse = None  # lazy range-max sparse table (range_max_ub_vec)
+        self._starts = None  # lazy posting offsets per block (full-chain gather)
         # Defensive (mirrors _PList): block_no order must be doc order with
         # DISJOINT ranges or range_max_ub's searchsorted silently
         # underestimates bounds and block-max pruning drops true top-k docs
@@ -365,6 +426,30 @@ class _BlockList:
         out[valid] = res
         return out
 
+    def _covers(self, idxs) -> bool:
+        """True when `idxs` selects ≥ FULL_FRAC of the chain's postings —
+        the head-term shape where per-block cache assembly costs more than
+        slicing the memoized full chain."""
+        sel = int(self.ns[np.asarray(idxs, dtype=np.int64)].sum())
+        return sel >= self.FULL_FRAC * int(self.ns.sum())
+
+    def _gather(self, arrs: tuple, idxs) -> tuple:
+        """Slice selected blocks out of full-chain arrays: consecutive block
+        ids merge into runs, so an all-but-seed selection is a handful of
+        large views instead of 10⁴ small copies."""
+        if self._starts is None:
+            self._starts = np.concatenate(([0], np.cumsum(self.ns)))
+        s = self._starts
+        idxs = np.asarray(idxs, dtype=np.int64)
+        brk = np.flatnonzero(np.diff(idxs) > 1)
+        run_a = idxs[np.concatenate(([0], brk + 1))]
+        run_b = idxs[np.concatenate((brk, [len(idxs) - 1]))]
+        segs = [(int(s[a]), int(s[b + 1])) for a, b in zip(run_a, run_b)]
+        if len(segs) == 1:
+            a, b = segs[0]
+            return tuple(x[a:b] for x in arrs)
+        return tuple(np.concatenate([x[a:b] for a, b in segs]) for x in arrs)
+
     def decode_raw(self, idxs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Selected blocks → (doc_ids, tfs, dls), through the decoded-block
         cache when one is attached (serving tier)."""
@@ -372,6 +457,12 @@ class _BlockList:
             z = np.empty(0, np.int64)
             return z, z, z
         if self._cache is not None:
+            if self._covers(idxs):
+                full = self._cache.get_full(
+                    self._ckey, self.doc_bytes, self.tf_bytes, self.dl_bytes)
+                if len(idxs) == len(self.ns):
+                    return full
+                return self._gather(full, idxs)
             return self._cache.get_many(
                 self._ckey, idxs, self.doc_bytes, self.tf_bytes, self.dl_bytes
             )
@@ -385,6 +476,16 @@ class _BlockList:
         """Selected blocks → (doc_ids, exact BM25 contributions)."""
         if len(idxs) == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        if self._cache is not None and self._covers(idxs):
+            # memoized full-chain contributions (bit-identical arithmetic),
+            # sliced to the selection — warm head-term queries skip both the
+            # per-block assembly AND the per-posting BM25 recompute
+            docs, contrib = self._cache.get_scored(
+                self._ckey, self.weight_idf, self.avgdl,
+                self.doc_bytes, self.tf_bytes, self.dl_bytes)
+            if len(idxs) == len(self.ns):
+                return docs, contrib
+            return self._gather((docs, contrib), idxs)
         docs, tfs, dls = self.decode_raw(idxs)
         tfs = tfs.astype(np.float64)
         dls = dls.astype(np.float64)
@@ -737,8 +838,11 @@ class SegmentSearcher:
     # directory- and row-group-pruned read; hot terms hit this LRU. The cap
     # bounds serving-tier memory at ANY vocabulary size (10⁹ terms never load).
     TERM_MEMO_CAP = 200_000
-    # serving-tier decoded-block cache bound (postings; ~24 B each → ~190 MB)
-    DECODE_CACHE_POSTINGS = 8_000_000
+    # serving-tier decoded-block cache bound (postings; ~24 B each → ~400 MB
+    # worst case): sized so the full-chain AND scored-chain entries of four
+    # 1M-df head terms coexist without LRU churn (2M accounted postings per
+    # such term)
+    DECODE_CACHE_POSTINGS = 16_000_000
 
     def _memo_put_locked(self, key, val) -> None:
         """Caller holds self._memo_lock."""
