@@ -255,3 +255,44 @@ def test_fuzzy_expansion_and_search(spark):
             fuzzy_search(searcher, ["windoq", "strem"], k=5).collect()]
     mem = [(r["doc_id"], round(r["score"], 9)) for r in hits]
     assert disk == mem
+
+
+def test_fuzzy_bag_prefilter_equivalence():
+    """expand_terms_py's vectorized bag-distance prefilter (vocab ≥
+    _BAG_FILTER_MIN) must produce EXACTLY the brute-force DP expansion set —
+    the prefilter is a superset guarantee, never dropping a ≤d candidate.
+    Random Latin + Cyrillic vocab (the 0xFF code-point binning must stay
+    collision-safe, i.e. collisions only SHRINK the bag distance)."""
+    import random
+
+    from ucuddle_search_engine_spark.operators import fuzzy as fz
+
+    rng = random.Random(7)
+    alpha = "abcdefgh"
+    cyr = "абвгдежз"
+    vocab = {}
+    for i in range(2600):  # ≥ _BAG_FILTER_MIN → prefilter path
+        src = alpha if i % 3 else cyr
+        t = "".join(rng.choice(src) for _ in range(rng.randint(2, 9)))
+        vocab[t] = float(rng.randint(1, 50))
+    queries = ["abcde", "hgf", "абвгд", "aаbб", "zz"]
+    got = fz.expand_terms_py(vocab, queries, max_expansions=None)
+
+    # brute force: same loop with the prefilter disabled
+    old = fz._BAG_FILTER_MIN
+    try:
+        fz._BAG_FILTER_MIN = 10**9
+        want = fz.expand_terms_py(vocab, queries, max_expansions=None)
+    finally:
+        fz._BAG_FILTER_MIN = old
+    assert sorted(got) == sorted(want) and len(want) > 0
+
+    # capped + prefixed variants agree too
+    for kw in ({"max_expansions": 3}, {"prefix_length": 1}):
+        a = fz.expand_terms_py(vocab, queries, **kw)
+        try:
+            fz._BAG_FILTER_MIN = 10**9
+            b = fz.expand_terms_py(vocab, queries, **kw)
+        finally:
+            fz._BAG_FILTER_MIN = old
+        assert sorted(a) == sorted(b), kw

@@ -299,3 +299,51 @@ def test_blocklist_cache_paths_identical(segments):
                 for w, g in zip(want, got):
                     assert np.array_equal(w, g), (meth, sel[:5], len(sel))
     assert cache._n <= cache.max_postings
+
+
+def test_wide_or_exhaustive_branch_parity(idx, searcher, monkeypatch):
+    """Disjunctions wider than WIDE_OR_LISTS score exhaustively (TAAT
+    bincount) instead of seed+prune — the two branches must rank and score
+    identically. Force the exhaustive branch for small queries by dropping
+    the threshold to 0, and cross-check a genuinely wide OR (> default
+    threshold) against the exact Column engine."""
+    from ucuddle_search_engine_spark.operators import wand as W
+
+    # same 3-term head query through both branches
+    pruned = _wand(searcher, QUERY_TERMS_HEAD, "or")
+    monkeypatch.setattr(W, "WIDE_OR_LISTS", 0)
+    wide = _wand(searcher, QUERY_TERMS_HEAD, "or")
+    _assert_same(pruned, wide, QUERY_TERMS_HEAD, "or/wide-branch")
+    monkeypatch.undo()
+
+    # a >48-term OR takes the wide branch by default; parity vs exact engine
+    terms = [f"t{i}" for i in range(60)]
+    _assert_same(_exact(idx, terms, "or"), _wand(searcher, terms, "or"),
+                 "60-term OR", "or")
+
+
+def test_scored_memo_no_full_chain_retention(segments):
+    """get_scored on a cold chain must retain ONLY the scored entry (a wide
+    fuzzy OR would otherwise hold every chain twice and thrash the LRU cap) —
+    and still serve warm hits and bit-identical contributions."""
+    import numpy as np
+
+    from ucuddle_search_engine_spark.operators.wand import DecodeCache, _BlockList
+
+    pdf = segments.filter("term = 't0' and field = 0").toPandas()
+    pdf = pdf[pdf["shard"] == int(pdf["shard"].iloc[0])]
+    plain = _BlockList(pdf, 1.7, 300.0)
+    cache = DecodeCache()
+    cached = _BlockList(pdf, 1.7, 300.0, cache=cache, ckey=(0, "t0", 0))
+    n = len(plain.ubs)
+    want = plain.decode(np.arange(n))
+    got_cold = cached.decode(np.arange(n))
+    keys = list(cache._d)
+    assert [k[1] for k in keys] == ["__scored__"], keys  # no __full__ entry
+    got_warm = cached.decode(np.arange(n))
+    for w, g1, g2 in zip(want, got_cold, got_warm):
+        assert np.array_equal(w, g1) and np.array_equal(w, g2)
+    # a later full decode re-decodes and caches __full__ independently
+    full = cached.decode_raw(np.arange(n))
+    assert np.array_equal(full[0], want[0])
+    assert any(k[1] == "__full__" for k in cache._d)

@@ -129,10 +129,12 @@ def bench_store(spark, n_docs: int) -> dict:
     # these stores are identity-analyzed (load_analyzer → None), so the
     # phrase terms need no re-analysis
     assert load_analyzer(store) is None
-    phrase = ["t0", "t1"]
-    out["phrase2"] = timed(
-        lambda: phrase_search_written(spark, store, phrase, k=10).collect(), n_warm=3
-    )
+    # head-head phrase = the honest worst case (both terms in ~every doc,
+    # tens of positions each); mid-mid is the typical real shape
+    for pname, phrase in (("phrase2_head", ["t0", "t1"]), ("phrase2_mid", ["t50", "t120"])):
+        out[pname] = timed(
+            lambda p=phrase: phrase_search_written(spark, store, p, k=10).collect(), n_warm=3
+        )
 
     # serving-tier fuzzy, prefix_length=1 (first-char bucket expansion)
     from serve import SearchApp

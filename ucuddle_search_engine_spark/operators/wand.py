@@ -117,7 +117,17 @@ class DecodeCache:
         v = self._touch(key)
         if v is not None:
             return v[0], v[1]
-        docs, tfs, dls = self.get_full(ckey, doc_bytes, tf_bytes, dl_bytes)
+        full = self._touch((ckey, "__full__"))
+        if full is not None:
+            docs, tfs, dls = full
+        else:
+            # decode WITHOUT retaining the full chain: a wide-OR working set
+            # (fuzzy expansion, ~200 chains) would otherwise hold every chain
+            # twice (full + scored) and thrash the postings cap — the scored
+            # entry alone serves warm OR queries; AND/phrase re-decode full
+            docs = decode_doc_ids_concat(list(doc_bytes))[0].astype(np.int64)
+            tfs = vb_decode_concat(list(tf_bytes))[0].astype(np.int64)
+            dls = vb_decode_concat(list(dl_bytes))[0].astype(np.int64)
         tfs = tfs.astype(np.float64)
         dls = dls.astype(np.float64)
         contrib = weight_idf * tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
@@ -533,6 +543,11 @@ def _topk_order(uniq: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
     return np.lexsort((uniq, -scores))[:k]
 
 
+#: above this many posting lists a disjunction is scored exhaustively (TAAT
+#: bincount) instead of block-max pruned — see the wide-OR branch below
+WIDE_OR_LISTS = 48
+
+
 def _blockmax_or_numpy(lists: list[_BlockList], k: int,
                        dead: np.ndarray | None = None) -> list[tuple[int, float]]:
     """Vectorized block-max disjunctive top-k (exact scores) — the WAND
@@ -552,6 +567,20 @@ def _blockmax_or_numpy(lists: list[_BlockList], k: int,
     lists = [L for L in lists if len(L.ubs)]
     if not lists:
         return []
+    if len(lists) > WIDE_OR_LISTS:
+        # Very wide disjunctions (fuzzy/prefix expansions): partial seed
+        # scores sit far below the true k-th total, so θ prunes almost
+        # nothing and the bound bookkeeping dominates. Exhaustive TAAT over
+        # whole chains is both faster and hits the full-chain decode memo.
+        parts = [L.decode(np.arange(len(L.ubs))) for L in lists]
+        docs_all = np.concatenate([d for d, _ in parts])
+        contribs = np.concatenate([c for _, c in parts])
+        if dead is not None and len(dead) and len(docs_all):
+            alive = ~np.isin(docs_all, dead)
+            docs_all, contribs = docs_all[alive], contribs[alive]
+        uniq, scores = _aggregate_scores(docs_all, contribs)
+        order = _topk_order(uniq, scores, k)
+        return [(int(uniq[i]), float(scores[i])) for i in order]
     # ---- seed: globally top-ub blocks until ~4k postings are decoded ------
     owner = np.concatenate([np.full(len(L.ubs), li, np.int64) for li, L in enumerate(lists)])
     bidx = np.concatenate([np.arange(len(L.ubs), dtype=np.int64) for L in lists])
@@ -588,23 +617,48 @@ def _blockmax_or_numpy(lists: list[_BlockList], k: int,
 
     # ---- prune + score survivors ------------------------------------------
     if np.isfinite(theta):
+        # Bound for block b of list L: ub_b + Σ_{O≠L} range-max of O over
+        # b's doc range. Σ_{O≠L} rm_O = (Σ_all rm_O) − rm_L, so instead of a
+        # range query per (L, O) PAIR — O(L²) calls, the dominant cost on
+        # many-list queries like fuzzy expansions (~230 lists → 160k calls) —
+        # gather every needy block across all lists and answer with ONE
+        # batched query per list, accumulating the total and remembering each
+        # owner's own contribution. Identical bound, O(L) calls.
+        rest_by: list[np.ndarray] = []
+        lo_p, hi_p, owner_p, ub_p = [], [], [], []
         for li, L in enumerate(lists):
             rest = bidx[(owner == li) & ~seed_mask]
-            if not len(rest):
-                continue
-            # vectorized bound: ub_b + Σ_{O≠L} range-max of O over b's doc
-            # range (sparse-table range-max, no per-block Python loop)
-            bound = L.ubs[rest].copy()
-            need = bound < theta  # alone it can't reach θ — add overlap help
+            need = L.ubs[rest] < theta  # alone it can't reach θ — needs help
+            rest_by.append(rest[~need])  # survives unconditionally
             if need.any():
-                lo = L.min_docs[rest][need]
-                hi = L.max_docs[rest][need]
-                add = np.zeros(int(need.sum()), dtype=np.float64)
-                for lj, O in enumerate(lists):
-                    if lj != li:
-                        add += O.range_max_ub_vec(lo, hi)
-                bound[need] += add
-            keep = rest[bound >= theta]
+                lo_p.append(L.min_docs[rest[need]])
+                hi_p.append(L.max_docs[rest[need]])
+                ub_p.append(L.ubs[rest[need]])
+                owner_p.append(np.full(int(need.sum()), li, np.int64))
+                rest_by[li] = (rest[~need], rest[need])
+        if lo_p:
+            lo_all = np.concatenate(lo_p)
+            hi_all = np.concatenate(hi_p)
+            ub_all = np.concatenate(ub_p)
+            owner_all = np.concatenate(owner_p)
+            total = np.zeros(len(lo_all), dtype=np.float64)
+            own = np.zeros(len(lo_all), dtype=np.float64)
+            for lj, O in enumerate(lists):
+                rm = O.range_max_ub_vec(lo_all, hi_all)
+                total += rm
+                m = owner_all == lj
+                if m.any():
+                    own[m] = rm[m]
+            needy_keep = ub_all + total - own >= theta
+        for li, L in enumerate(lists):
+            entry = rest_by[li]
+            if isinstance(entry, tuple):
+                sure, needy = entry
+                keep = np.concatenate((sure, needy[needy_keep[owner_all == li]]))
+            else:
+                keep = entry
+            if not len(keep):
+                continue
             d, c = L.decode(np.sort(keep))
             docs_parts.append(d)
             contrib_parts.append(c)
