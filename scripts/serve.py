@@ -242,9 +242,33 @@ class SearchApp:
                          offset: int) -> list[dict]:
         if len(q.strip()) < 3:  # length guard (web/app.py:30-31)
             return []
-        terms = view.analyzer.analyze_py(q)
+        qs = q.strip()
+        # quoted query → exact phrase over the positional sidecar (the ES
+        # match_phrase / search_quote_analyzer path the index was built to
+        # serve, crawler/functs_with_elastic.go:85-94) — Spark-free, same
+        # scores as phrase_search_written. Stores without a sidecar degrade
+        # to AND (every phrase term present, order not enforced).
+        phrase = len(qs) > 1 and qs[0] == '"' and qs[-1] == '"'
+        if phrase:
+            qs = qs[1:-1]
+        terms = view.analyzer.analyze_py(qs if phrase else q)
         if not terms:
             return []
+        if phrase:
+            if os.path.isdir(os.path.join(self.store_dir, "postings")):
+                from ucuddle_search_engine_spark.operators.phrase import (
+                    phrase_search_local,
+                )
+
+                import numpy as np
+
+                ts = view.searcher.tombstones
+                hits = phrase_search_local(
+                    self.store_dir, terms, k=k + offset,
+                    dead=np.asarray(ts, dtype=np.int64) if ts else None,
+                )[offset:]
+                return self._hydrate(view, terms, hits, highlight)
+            mode = "and"
         if fuzzy:
             # ES fuzziness:AUTO (web_old/elastic_interaction.py:23): expand
             # each term against the vocabulary, score the expanded set as one
@@ -268,6 +292,14 @@ class SearchApp:
                 return []
             mode = "or"
         hits = view.searcher.search_local(terms, k=k, mode=mode, offset=offset)
+        return self._hydrate(view, terms, hits, highlight)
+
+    def _hydrate(self, view: _StoreView, terms: list[str],
+                 hits: list[tuple[int, float]], highlight: bool) -> list[dict]:
+        """Ranked (doc_id, score) pairs → response rows: titles/repo/path from
+        the docs dataset (row-group-pruned id filter) and, when asked,
+        bolded snippets from the positional sidecar — shared by the term and
+        phrase paths."""
         if not hits:
             return []
         import pyarrow.dataset as pds

@@ -71,3 +71,26 @@ def test_phrase_search_over_written_store(spark, tmp_path_factory):
     got = [(r["doc_id"], round(r["score"], 9)) for r in
            phrase_search_written(spark, out, phrase, k=5).collect()]
     assert got == want and len(got) > 0
+
+    # the Spark-free serving path (pyarrow sidecar read + numpy adjacency)
+    # must rank and score identically to both engines
+    import numpy as np
+
+    from ucuddle_search_engine_spark.operators.phrase import phrase_search_local
+
+    local = [(d, round(s, 9)) for d, s in phrase_search_local(out, phrase, k=5)]
+    assert local == want
+
+    # 3-term chain, absent term, single term — all three path-parity checked
+    for ph in (["t0", "t1", "t0"], ["t0", "zzzabsent"], ["t1"]):
+        w = [(r["doc_id"], round(r["score"], 9)) for r in
+             phrase_search(idx.postings.filter(F.col("field") == 0),
+                           idx.dstats, idx.cstats, ph, k=5).collect()]
+        g = [(d, round(s, 9)) for d, s in phrase_search_local(out, ph, k=5)]
+        assert g == w, ph
+
+    # tombstoned docs vanish from matches AND the phrase df
+    top_doc = want[0][0]
+    dead = np.asarray([top_doc], dtype=np.int64)
+    with_dead = phrase_search_local(out, phrase, k=5, dead=dead)
+    assert top_doc not in [d for d, _ in with_dead] and with_dead

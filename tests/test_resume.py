@@ -755,3 +755,45 @@ def test_serve_concurrent_requests_and_reload(spark, corpus, tmp_path_factory):
     post = tuple((h["doc_id"], h["score"]) for h in app.search("t0 t1", k=5, mode="or"))
     assert dead not in [d for d, _ in post]
     assert observed <= {pre, post}, observed
+
+
+def test_serve_quoted_phrase(spark, corpus, tmp_path_factory):
+    """A quoted query ("t0 t1") routes to the Spark-free phrase path over the
+    positional sidecar — same ranking as phrase_search_written — and the
+    highlight/pagination plumbing still applies. Unquoted "t0 t1" must NOT
+    take the phrase path (OR/AND semantics unchanged)."""
+    import sys as _sys
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    _sys.path.insert(0, scripts)
+    try:
+        from serve import SearchApp
+    finally:
+        _sys.path.remove(scripts)
+    from ucuddle_search_engine_spark.plans.build_index import (
+        build_index_resumable,
+        phrase_search_written,
+    )
+
+    out = str(tmp_path_factory.mktemp("idx_serve_phrase"))
+    build_index_resumable(spark, corpus, out, n_units=2, write_postings=True)
+    app = SearchApp(out)
+
+    want = [(r["doc_id"], round(r["score"], 6)) for r in
+            phrase_search_written(spark, out, ["t0", "t1"], k=5).collect()]
+    hits = app.search('"t0 t1"', k=5)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
+
+    # phrase ranking differs from the OR ranking of the same terms (adjacency
+    # actually constrains) or at minimum scores by the pseudo-term df
+    loose = app.search("t0 t1", k=5, mode="or")
+    assert [h["score"] for h in loose] != [h["score"] for h in hits]
+
+    # pagination: page 2 of the phrase == rows [2:4] of a k=10 page-1
+    all10 = app.search('"t0 t1"', k=10)
+    page2 = app.search('"t0 t1"', k=2, offset=2)
+    assert [h["doc_id"] for h in page2] == [h["doc_id"] for h in all10[2:4]]
+
+    # highlight over the phrase path reuses the sidecar snippets
+    hl = app.search('"t0 t1"', k=3, highlight=True)
+    assert hl and all("<b>" in h["snippet"] for h in hl)

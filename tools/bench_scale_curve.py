@@ -21,6 +21,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from pyspark import StorageLevel  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from ucuddle_search_engine_spark.functions.textstats import text_stats  # noqa: E402
@@ -90,7 +91,7 @@ def main() -> None:
 
         docs = corpus.select(
             F.monotonically_increasing_id().alias("doc_id"), F.col("content").alias("text")
-        ).persist()
+        ).persist(StorageLevel.MEMORY_AND_DISK)  # 5M contents overflow an 8g heap
         docs.count()
         t0 = time.time()
         row["minhash_pairs"] = lsh_candidate_pairs(docs, hash_kind="xx64").count()
