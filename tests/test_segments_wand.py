@@ -347,3 +347,24 @@ def test_scored_memo_no_full_chain_retention(segments):
     full = cached.decode_raw(np.arange(n))
     assert np.array_equal(full[0], want[0])
     assert any(k[1] == "__full__" for k in cache._d)
+
+
+def test_decode_cache_default_cap_ram_derived(monkeypatch):
+    """The default DecodeCache bound scales with the box's physical RAM
+    (page-cache sizing) between a 16M floor and a 512M ceiling, and the env
+    override wins outright — so a serving shard with head-term working sets
+    past 16M postings (e.g. 5M-doc stores) stays warm without unbounding
+    memory."""
+    from ucuddle_search_engine_spark.operators.wand import (
+        _default_decode_cache_postings,
+    )
+
+    monkeypatch.delenv("UCUDDLE_DECODE_CACHE_POSTINGS", raising=False)
+    cap = _default_decode_cache_postings()
+    assert 16_000_000 <= cap <= 512_000_000
+    import os as _os
+
+    ram = _os.sysconf("SC_PAGE_SIZE") * _os.sysconf("SC_PHYS_PAGES")
+    assert cap == min(max(16_000_000, ram // 20 // 24), 512_000_000)
+    monkeypatch.setenv("UCUDDLE_DECODE_CACHE_POSTINGS", "12345")
+    assert _default_decode_cache_postings() == 12345

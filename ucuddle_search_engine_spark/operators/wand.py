@@ -39,6 +39,24 @@ INF = np.iinfo(np.int64).max
 UB_EPS = 1e-9
 
 
+def _default_decode_cache_postings() -> int:
+    """Default DecodeCache bound, sized to the serving box like a page cache:
+    ~5% of physical RAM at the ~24 B/cached-posting worst case, floored at
+    16M postings (~400 MB) and hard-capped at 512M (~12 GB). Still a fixed
+    bound independent of corpus/vocabulary — a box serving a 5M-doc shard
+    with 128 GB RAM keeps the four-head-term working set (4 terms × df ×
+    full+scored chains) resident instead of thrashing a cap tuned for 1M-df
+    terms. Override: UCUDDLE_DECODE_CACHE_POSTINGS env var."""
+    env = os.environ.get("UCUDDLE_DECODE_CACHE_POSTINGS")
+    if env:
+        return max(1, int(env))
+    try:
+        ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return 16_000_000
+    return min(max(16_000_000, ram // 20 // 24), 512_000_000)
+
+
 class DecodeCache:
     """Serving-tier cache of DECODED posting blocks — the page-cache analogue
     every on-disk engine keeps: a static store's block bytes decode to the
@@ -892,11 +910,13 @@ class SegmentSearcher:
     # directory- and row-group-pruned read; hot terms hit this LRU. The cap
     # bounds serving-tier memory at ANY vocabulary size (10⁹ terms never load).
     TERM_MEMO_CAP = 200_000
-    # serving-tier decoded-block cache bound (postings; ~24 B each → ~400 MB
-    # worst case): sized so the full-chain AND scored-chain entries of four
-    # 1M-df head terms coexist without LRU churn (2M accounted postings per
-    # such term)
-    DECODE_CACHE_POSTINGS = 16_000_000
+    # serving-tier decoded-block cache bound (postings; ~24 B each). RAM-
+    # derived (page-cache sizing, see _default_decode_cache_postings): the
+    # fixed 16M floor covers four 1M-df head terms' full+scored chains, but a
+    # box serving a 5M-doc shard needs ~40M for the same query shape or warm
+    # queries re-decode everything (measured: warm == cold at 5M docs with
+    # the 16M cap). Instance/class override and env var both respected.
+    DECODE_CACHE_POSTINGS = _default_decode_cache_postings()
 
     def _memo_put_locked(self, key, val) -> None:
         """Caller holds self._memo_lock."""
