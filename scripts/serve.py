@@ -52,7 +52,7 @@ class _StoreView:
     late writes land in the orphaned old view and are garbage-collected."""
 
     __slots__ = ("searcher", "analyzer", "result_cache", "vocab_full",
-                 "vocab_buckets", "tstats_rows")
+                 "vocab_buckets", "tstats_rows", "phrase_cache")
 
     def __init__(self, store_dir: str):
         self.searcher = SegmentSearcher.open_local(store_dir)
@@ -68,6 +68,10 @@ class _StoreView:
         # memoized tstats row count (parquet-metadata-only), for the
         # full-vocab guard below
         self.tstats_rows: int | None = None
+        # quoted-phrase term-key cache (operators.phrase.PhraseKeysCache),
+        # created lazily on the first phrase query; dies with the view on
+        # reopen, so a merged/compacted store can never serve stale keys
+        self.phrase_cache = None
 
 
 class SearchApp:
@@ -257,15 +261,19 @@ class SearchApp:
         if phrase:
             if os.path.isdir(os.path.join(self.store_dir, "postings")):
                 from ucuddle_search_engine_spark.operators.phrase import (
+                    PhraseKeysCache,
                     phrase_search_local,
                 )
 
                 import numpy as np
 
+                if view.phrase_cache is None:
+                    view.phrase_cache = PhraseKeysCache()
                 ts = view.searcher.tombstones
                 hits = phrase_search_local(
                     self.store_dir, terms, k=k + offset,
                     dead=np.asarray(ts, dtype=np.int64) if ts else None,
+                    cache=view.phrase_cache,
                 )[offset:]
                 return self._hydrate(view, terms, hits, highlight)
             mode = "and"

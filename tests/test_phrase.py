@@ -94,3 +94,17 @@ def test_phrase_search_over_written_store(spark, tmp_path_factory):
     dead = np.asarray([top_doc], dtype=np.int64)
     with_dead = phrase_search_local(out, phrase, k=5, dead=dead)
     assert top_doc not in [d for d, _ in with_dead] and with_dead
+
+    # keys cache: cold fill, warm hit, and forced eviction all rank-identical;
+    # tombstones still apply on cached (unfiltered) keys
+    from ucuddle_search_engine_spark.operators.phrase import PhraseKeysCache
+
+    pkc = PhraseKeysCache()
+    cold = phrase_search_local(out, phrase, k=5, cache=pkc)
+    assert [(d, round(s, 9)) for d, s in cold] == want and pkc._n > 0
+    warm = phrase_search_local(out, phrase, k=5, cache=pkc)
+    assert warm == cold
+    assert phrase_search_local(out, phrase, k=5, dead=dead, cache=pkc) == with_dead
+    tiny = PhraseKeysCache(max_keys=1)  # every term over budget → evict-churn
+    assert phrase_search_local(out, phrase, k=5, cache=tiny) == cold
+    assert tiny._n <= max(len(v[0]) for v in tiny._d.values() or [((),)])

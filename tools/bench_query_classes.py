@@ -133,8 +133,12 @@ def bench_store(spark, n_docs: int) -> dict:
     # tens of positions each); mid-mid is the typical real shape. Both the
     # distributed path (one Spark job/query) and the Spark-free serving path
     # (phrase_search_local) are timed; parity asserted once per phrase.
-    from ucuddle_search_engine_spark.operators.phrase import phrase_search_local
+    from ucuddle_search_engine_spark.operators.phrase import (
+        PhraseKeysCache,
+        phrase_search_local,
+    )
 
+    pk_cache = PhraseKeysCache()  # what SearchApp holds per store view
     for pname, phrase in (("phrase2_head", ["t0", "t1"]), ("phrase2_mid", ["t50", "t120"])):
         want = [(r["doc_id"], round(r["score"], 9)) for r in
                 phrase_search_written(spark, store, phrase, k=10).collect()]
@@ -144,7 +148,7 @@ def bench_store(spark, n_docs: int) -> dict:
             lambda p=phrase: phrase_search_written(spark, store, p, k=10).collect(), n_warm=3
         )
         out[pname + "_serve"] = timed(
-            lambda p=phrase: phrase_search_local(store, p, k=10), n_warm=3
+            lambda p=phrase: phrase_search_local(store, p, k=10, cache=pk_cache), n_warm=3
         )
 
     # serving-tier fuzzy, prefix_length=1 (first-char bucket expansion)

@@ -71,8 +71,58 @@ def phrase_search(
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
+class PhraseKeysCache:
+    """Bounded LRU of per-(term, field) sorted composite-key arrays for the
+    serving-tier phrase path — the positional analogue of wand.DecodeCache:
+    a static store's sidecar rows build the same key array on every query and
+    head terms recur across phrases, so the read+gather (the dominant phrase
+    cost) is paid once per term. Bounded by TOTAL CACHED KEYS (8 B each), so
+    memory stays fixed at any corpus/vocabulary size; sized to hold a couple
+    of head-term arrays (tf × df keys each). Entries are unfiltered —
+    tombstones apply after matching, exactly where they applied post-read.
+    Thread-safe like DecodeCache (serve.py is a ThreadingHTTPServer); the
+    cache lives on the serving view and drops on store reopen."""
+
+    __slots__ = ("max_keys", "_d", "_n", "_lock")
+
+    def __init__(self, max_keys: int | None = None):
+        import threading
+
+        if max_keys is None:
+            try:
+                ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+                max_keys = min(max(8_000_000, ram // 40 // 8), 1_000_000_000)
+            except (ValueError, OSError, AttributeError):
+                max_keys = 8_000_000
+        self.max_keys = max_keys
+        self._d: dict[tuple, tuple] = {}  # insertion-ordered → LRU
+        self._n = 0
+        self._lock = threading.Lock()
+
+    def get(self, key: tuple):
+        with self._lock:
+            v = self._d.pop(key, None)
+            if v is not None:
+                self._d[key] = v  # re-insert = touch
+            return v
+
+    def put(self, key: tuple, v: tuple) -> None:
+        with self._lock:
+            old = self._d.pop(key, None)
+            if old is not None:
+                self._n -= len(old[0])
+            self._d[key] = v
+            self._n += len(v[0])
+            while self._n > self.max_keys and self._d:
+                k0 = next(iter(self._d))
+                if k0 == key and len(self._d) == 1:
+                    break  # a single over-budget entry still serves its query
+                self._n -= len(self._d.pop(k0)[0])
+
+
 def phrase_search_local(store_dir: str, terms: list[str], k: int = 10,
-                        field: int = 0, dead=None) -> list[tuple[int, float]]:
+                        field: int = 0, dead=None,
+                        cache: PhraseKeysCache | None = None) -> list[tuple[int, float]]:
     """Serving-tier quoted-phrase top-k over a written store's positional
     sidecar — pyarrow pruned read + numpy adjacency, NO Spark job (the
     match_phrase analogue of SegmentSearcher.search_local). Bit-identical
@@ -85,8 +135,11 @@ def phrase_search_local(store_dir: str, terms: list[str], k: int = 10,
     BOTH the match set and the phrase df, as if they were never indexed.
 
     Scale shape: cost is O(Σ pruned postings of the |q| phrase terms), the
-    same rows the distributed path shuffles — never the corpus; memory is the
-    flattened (doc,pos) key arrays of the current term pair only."""
+    same rows the distributed path shuffles — never the corpus; key arrays
+    build in O(n) (doc-row sort + run gather; stored positions are ascending
+    per doc). With a PhraseKeysCache, hot terms skip the read+gather and
+    memory is bounded by the cache cap; without one it is the current terms'
+    key arrays only."""
     import math
 
     import numpy as np
@@ -101,30 +154,49 @@ def phrase_search_local(store_dir: str, terms: list[str], k: int = 10,
     if not os.path.isdir(root):
         raise FileNotFoundError(f"{store_dir} lacks the positional sidecar "
                                 "(build with write_postings=True)")
-    d = pds.dataset(root, format="parquet", partitioning="hive")
-    flt = pds.field("term").isin(sorted(set(terms))) & (pds.field("field") == field)
-    if "tb" in d.schema.names:
-        flt = flt & pds.field("tb").isin(term_buckets(terms))
-    tab = d.to_table(filter=flt,
-                     columns=["term", "doc_id", "positions", "doclen"])
 
-    # per-distinct-term sorted composite keys (units interleave doc ranges,
-    # so a global sort per term is required once)
-    keys_of: dict[str, np.ndarray] = {}
-    first_docs = first_dls = None
-    for t in set(terms):
+    # per-distinct-term (sorted keys, docs-in-key-order, doclens): cache hits
+    # skip the sidecar read entirely, misses are read with one pruned scan
+    loaded: dict[str, tuple] = {}
+    need = sorted(set(terms))
+    if cache is not None:
+        for t in need:
+            hit = cache.get((t, field))
+            if hit is not None:
+                loaded[t] = hit
+        need = [t for t in need if t not in loaded]
+    if need:
+        d = pds.dataset(root, format="parquet", partitioning="hive")
+        flt = pds.field("term").isin(need) & (pds.field("field") == field)
+        if "tb" in d.schema.names:
+            flt = flt & pds.field("tb").isin(term_buckets(need))
+        tab = d.to_table(filter=flt,
+                         columns=["term", "doc_id", "positions", "doclen"])
+    for t in need:
         sub = tab.filter(pc.equal(tab.column("term"), t))
-        docs = sub.column("doc_id").to_numpy()
+        docs = sub.column("doc_id").to_numpy().astype(np.int64)
         posl = sub.column("positions").combine_chunks()
-        counts = pc.list_value_length(posl).to_numpy()
+        counts = pc.list_value_length(posl).to_numpy().astype(np.int64)
         flat = posl.flatten().to_numpy()
-        keys = (np.repeat(docs.astype(np.int64), counts) << 32) | flat.astype(np.int64)
-        keys.sort()
-        keys_of[t] = keys
-        if t == terms[0]:
-            order = np.argsort(docs, kind="stable")
-            first_docs = docs[order].astype(np.int64)
-            first_dls = sub.column("doclen").to_numpy()[order].astype(np.int64)
+        # stored positions are ascending within each doc and (term,doc) rows
+        # are unique, so sorting the m doc rows and gathering each row's
+        # position run yields globally sorted keys in O(n) — no n log n sort
+        # of the flattened array (n = Σtf ≫ m = df for head terms)
+        order = np.argsort(docs, kind="stable")
+        oc = counts[order]
+        starts = np.cumsum(counts) - counts
+        out_starts = np.cumsum(oc) - oc
+        idx = (np.arange(int(oc.sum()), dtype=np.int64)
+               - np.repeat(out_starts, oc) + np.repeat(starts[order], oc))
+        sdocs = docs[order]
+        keys = (np.repeat(sdocs, oc) << 32) | flat[idx].astype(np.int64)
+        entry = (keys, sdocs, sub.column("doclen").to_numpy()[order].astype(np.int64))
+        loaded[t] = entry
+        if cache is not None:
+            cache.put((t, field), entry)
+
+    keys_of = {t: v[0] for t, v in loaded.items()}
+    _, first_docs, first_dls = loaded[terms[0]]
 
     cur = keys_of[terms[0]]  # candidate phrase START positions
     for i, t in enumerate(terms[1:], start=1):
