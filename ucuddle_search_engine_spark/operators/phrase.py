@@ -139,14 +139,19 @@ def phrase_search_local(store_dir: str, terms: list[str], k: int = 10,
     build in O(n) (doc-row sort + run gather; stored positions are ascending
     per doc). With a PhraseKeysCache, hot terms skip the read+gather and
     memory is bounded by the cache cap; without one it is the current terms'
-    key arrays only."""
+    key arrays only.
+
+    Two adjacency engines, identical results (parity-tested): the content
+    field uses token-RANK bitmaps (rank = per-doc token offset + position,
+    from the docs dataset's doclen column; "a b" holds iff bit rank(a)+1 is
+    set in b's bitmap — one byte-gather per candidate instead of a binary
+    search into the other term's key array), self-validated at fill time
+    (every position must fit its doc's span, else the store permanently
+    falls back); other fields and invalid stores use the sorted-key
+    searchsorted merge."""
     import math
 
     import numpy as np
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pds
-
-    from ..functions.hashing import term_buckets
 
     if not terms:
         raise ValueError("empty phrase")
@@ -155,67 +160,21 @@ def phrase_search_local(store_dir: str, terms: list[str], k: int = 10,
         raise FileNotFoundError(f"{store_dir} lacks the positional sidecar "
                                 "(build with write_postings=True)")
 
-    # per-distinct-term (sorted keys, docs-in-key-order, doclens): cache hits
-    # skip the sidecar read entirely, misses are read with one pruned scan
-    loaded: dict[str, tuple] = {}
-    need = sorted(set(terms))
-    if cache is not None:
-        for t in need:
-            hit = cache.get((t, field))
-            if hit is not None:
-                loaded[t] = hit
-        need = [t for t in need if t not in loaded]
-    if need:
-        d = pds.dataset(root, format="parquet", partitioning="hive")
-        flt = pds.field("term").isin(need) & (pds.field("field") == field)
-        if "tb" in d.schema.names:
-            flt = flt & pds.field("tb").isin(term_buckets(need))
-        tab = d.to_table(filter=flt,
-                         columns=["term", "doc_id", "positions", "doclen"])
-    for t in need:
-        sub = tab.filter(pc.equal(tab.column("term"), t))
-        docs = sub.column("doc_id").to_numpy().astype(np.int64)
-        posl = sub.column("positions").combine_chunks()
-        counts = pc.list_value_length(posl).to_numpy().astype(np.int64)
-        flat = posl.flatten().to_numpy()
-        # stored positions are ascending within each doc and (term,doc) rows
-        # are unique, so sorting the m doc rows and gathering each row's
-        # position run yields globally sorted keys in O(n) — no n log n sort
-        # of the flattened array (n = Σtf ≫ m = df for head terms)
-        order = np.argsort(docs, kind="stable")
-        oc = counts[order]
-        starts = np.cumsum(counts) - counts
-        out_starts = np.cumsum(oc) - oc
-        idx = (np.arange(int(oc.sum()), dtype=np.int64)
-               - np.repeat(out_starts, oc) + np.repeat(starts[order], oc))
-        sdocs = docs[order]
-        keys = (np.repeat(sdocs, oc) << 32) | flat[idx].astype(np.int64)
-        entry = (keys, sdocs, sub.column("doclen").to_numpy()[order].astype(np.int64))
-        loaded[t] = entry
-        if cache is not None:
-            cache.put((t, field), entry)
-
-    keys_of = {t: v[0] for t, v in loaded.items()}
-    _, first_docs, first_dls = loaded[terms[0]]
-
-    cur = keys_of[terms[0]]  # candidate phrase START positions
-    for i, t in enumerate(terms[1:], start=1):
-        if not len(cur):
-            break
-        kt = keys_of[t]
-        if not len(kt):
-            cur = cur[:0]
-            break
-        probe = cur + i
-        idx = np.searchsorted(kt, probe)
-        ok = idx < len(kt)
-        ok[ok] = kt[idx[ok]] == probe[ok]
-        cur = cur[ok]
-    if not len(cur):
+    res = None
+    if field == 0 and (store_dir, field) not in _RANK_INVALID:
+        offsets = _token_offsets(store_dir, cache)
+        if offsets is not None:
+            loaded = _load_entries(root, terms, field, cache, offsets)
+            if loaded is None:  # a position overflowed its doc span
+                _RANK_INVALID.add((store_dir, field))
+            else:
+                res = _match_rank(loaded, terms, offsets)
+    if res is None:
+        loaded = _load_entries(root, terms, field, cache, None)
+        res = _match_key(loaded, terms)
+    uniq, tf, first_docs, first_dls = res
+    if not len(uniq):
         return []
-
-    match_docs = cur >> 32  # sorted (cur is a subset of sorted first-term keys)
-    uniq, tf = np.unique(match_docs, return_counts=True)
     if dead is not None and len(dead):
         alive = ~np.isin(uniq, dead)
         uniq, tf = uniq[alive], tf[alive]
@@ -234,3 +193,186 @@ def phrase_search_local(store_dir: str, terms: list[str], k: int = 10,
     score = idf * (tf / (tf + K1 * (1.0 - B + B * dl / float(avgdl))))
     order = np.lexsort((uniq, -score))[:k]
     return [(int(uniq[i]), float(score[i])) for i in order]
+
+
+# stores whose docs.doclen disagreed with the sidecar's position space —
+# permanently served by the searchsorted engine (tiny: one tuple per store)
+_RANK_INVALID: set[tuple[str, int]] = set()
+
+
+def _token_offsets(store_dir: str, cache):
+    """Global token-rank offsets for the content field: offsets[d] = Σ doclen
+    of docs < d (docs dataset, one 2-column read, cached per view). None if
+    the store's docs dataset lacks a doclen column. Doc ids are dense
+    (operators/ids), so the array is max_id+2 int64 — ~40 MB at 5M docs."""
+    import numpy as np
+    import pyarrow.dataset as pds
+
+    ck = ("__offsets__", 0)
+    if cache is not None:
+        hit = cache.get(ck)
+        if hit is not None:
+            return hit[0]
+    try:
+        d = pds.dataset(os.path.join(store_dir, "docs"), format="parquet",
+                        partitioning="hive")
+    except (OSError, FileNotFoundError):
+        return None
+    if "doclen" not in d.schema.names or "doc_id" not in d.schema.names:
+        return None
+    tab = d.to_table(columns=["doc_id", "doclen"])
+    ids = tab.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = tab.column("doclen").to_numpy(zero_copy_only=False)
+    if not len(ids):
+        return None
+    n = int(ids.max()) + 1
+    # +1 GUARD slot per doc (its bit is never set): a probe at the rank right
+    # after a doc's last token lands on the guard, not the next doc's first
+    # token — so distance-1 adjacency needs no boundary mask at all
+    full = np.ones(n, dtype=np.int64)
+    full[ids] += np.nan_to_num(dls.astype(np.float64)).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(full)))
+    if cache is not None:
+        cache.put(ck, (offsets,))
+    return offsets
+
+
+def _load_entries(root: str, terms: list[str], field: int, cache,
+                  offsets):
+    """Per-distinct-term sidecar entries, LRU-cached: cache hits skip the
+    read, misses share ONE tb-/row-group-pruned scan. Key form (offsets is
+    None): (sorted (doc<<32)|pos keys, docs, doclens). Rank form: (sorted
+    token ranks, docs, per-row tfs, doclens, packed rank bitmap) — returns
+    None if any position falls outside its doc's offsets span (docs.doclen
+    inconsistent with the analyzer's position space), signalling the caller
+    to fall back to key form."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+
+    from ..functions.hashing import term_buckets
+
+    form = "k" if offsets is None else "r"
+    loaded: dict[str, tuple] = {}
+    need = sorted(set(terms))
+    if cache is not None:
+        for t in need:
+            hit = cache.get((t, field, form))
+            if hit is not None:
+                loaded[t] = hit
+        need = [t for t in need if t not in loaded]
+    if need:
+        d = pds.dataset(root, format="parquet", partitioning="hive")
+        flt = pds.field("term").isin(need) & (pds.field("field") == field)
+        if "tb" in d.schema.names:
+            flt = flt & pds.field("tb").isin(term_buckets(need))
+        tab = d.to_table(filter=flt,
+                         columns=["term", "doc_id", "positions", "doclen"])
+    total = int(offsets[-1]) if offsets is not None else 0
+    for t in need:
+        sub = tab.filter(pc.equal(tab.column("term"), t))
+        docs = sub.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        posl = sub.column("positions").combine_chunks()
+        counts = pc.list_value_length(posl).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = posl.flatten().to_numpy(zero_copy_only=False)
+        # stored positions are ascending within each doc and (term,doc) rows
+        # are unique, so sorting the m doc rows and gathering each row's
+        # position run yields globally sorted keys/ranks in O(n) — no
+        # n log n sort of the flattened array (n = Σtf ≫ m = df for head
+        # terms)
+        order = np.argsort(docs, kind="stable")
+        oc = counts[order]
+        starts = np.cumsum(counts) - counts
+        out_starts = np.cumsum(oc) - oc
+        idx = (np.arange(int(oc.sum()), dtype=np.int64)
+               - np.repeat(out_starts, oc) + np.repeat(starts[order], oc))
+        sdocs = docs[order]
+        pos = flat[idx].astype(np.int64)
+        dls = sub.column("doclen").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        if form == "k":
+            entry = ((np.repeat(sdocs, oc) << 32) | pos, sdocs, dls)
+        else:
+            span = offsets[sdocs + 1] - offsets[sdocs] - 1  # -1: guard slot
+            if len(pos) and not bool((pos < np.repeat(span, oc)).all()):
+                return None
+            ranks = np.repeat(offsets[sdocs], oc) + pos
+            if total + 8 < 2**31:  # int32 ranks halve probe memory traffic
+                ranks = ranks.astype(np.int32)
+            bits = np.zeros(total + 8, dtype=bool)
+            bits[ranks] = True
+            entry = (ranks, sdocs, oc, dls,
+                     np.packbits(bits, bitorder="little"))
+        loaded[t] = entry
+        if cache is not None:
+            cache.put((t, field, form), entry)
+    return loaded
+
+
+def _match_key(loaded: dict, terms: list[str]):
+    """Sorted-key adjacency merge: phrase start keys survive term i iff
+    key+i is among term i's keys (binary search per candidate)."""
+    import numpy as np
+
+    _, first_docs, first_dls = loaded[terms[0]]
+    cur = loaded[terms[0]][0]  # candidate phrase START positions
+    for i, t in enumerate(terms[1:], start=1):
+        if not len(cur):
+            break
+        kt = loaded[t][0]
+        if not len(kt):
+            cur = cur[:0]
+            break
+        probe = cur + i
+        idx = np.searchsorted(kt, probe)
+        ok = idx < len(kt)
+        ok[ok] = kt[idx[ok]] == probe[ok]
+        cur = cur[ok]
+    # cur is a subset of the sorted first-term keys, so docs stay sorted
+    uniq, tf = np.unique(cur >> 32, return_counts=True)
+    return uniq, tf, first_docs, first_dls
+
+
+def _match_rank(loaded: dict, terms: list[str], offsets):
+    """Rank-bitmap adjacency: a candidate at rank r (doc d) survives term i
+    iff r+i is still inside d's span AND bit r+i is set in term i's bitmap —
+    one bounds check + one byte gather per candidate, no binary search. The
+    span guard runs BEFORE the gather, so probes never cross into the next
+    doc's range (no false adjacency across doc boundaries) and never index
+    past the bitmap."""
+    import numpy as np
+
+    e0 = loaded[terms[0]]
+    ranks, sdocs, oc, dls = e0[0], e0[1], e0[2], e0[3]
+    empty = np.empty(0, dtype=np.int64)
+    if not len(ranks):
+        return empty, empty, sdocs, dls
+    rdt = ranks.dtype
+    bit_lut = np.left_shift(np.ones(8, dtype=np.uint8), np.arange(8, dtype=np.uint8))
+    cand_r = ranks
+    cand_doc = np.repeat(sdocs.astype(np.int32 if rdt == np.int32 else np.int64), oc)
+    cand_lim = None  # first rank past the candidate's doc span+guard; lazy
+    for i, t in enumerate(terms[1:], start=1):
+        ent = loaded[t]
+        if not len(ent[0]):
+            return empty, empty, sdocs, dls
+        packed = ent[4]
+        if i >= 2:  # distance 1 is guarded by the per-doc guard slot itself
+            if cand_lim is None:
+                cand_lim = offsets[np.asarray(cand_doc, dtype=np.int64) + 1].astype(rdt)
+            keep = (cand_r + i) < cand_lim
+            if not keep.all():
+                cand_r, cand_doc, cand_lim = cand_r[keep], cand_doc[keep], cand_lim[keep]
+                if not len(cand_r):
+                    return empty, empty, sdocs, dls
+        idx = cand_r + i
+        # uint8 LUT keeps the whole probe in uint8 — no int64 promotion of
+        # 10^7-10^8-element temporaries (the measured hot spot)
+        hit = (packed[idx >> 3] & bit_lut[idx & 7]) != 0
+        cand_r, cand_doc = cand_r[hit], cand_doc[hit]
+        if cand_lim is not None:
+            cand_lim = cand_lim[hit]
+        if not len(cand_r):
+            return empty, empty, sdocs, dls
+    # candidates kept first-term rank order, so docs stay sorted
+    uniq, tf = np.unique(cand_doc, return_counts=True)
+    return uniq, tf, sdocs, dls.astype(np.int64)
