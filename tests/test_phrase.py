@@ -108,3 +108,46 @@ def test_phrase_search_over_written_store(spark, tmp_path_factory):
     tiny = PhraseKeysCache(max_keys=1)  # every term over budget → evict-churn
     assert phrase_search_local(out, phrase, k=5, cache=tiny) == cold
     assert tiny._n <= max(len(v[0]) for v in tiny._d.values() or [((),)])
+
+
+def test_phrase_local_rank_engine_and_fallback(spark, tmp_path_factory):
+    """The content-field rank-bitmap engine must (a) actually engage on a
+    healthy store, (b) agree exactly with the forced sorted-key engine, and
+    (c) permanently fall back — with identical results — when docs.doclen
+    understates the sidecar's position space (the self-validation that keeps
+    an inconsistent store from ever matching across doc boundaries)."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from ucuddle_search_engine_spark.operators import phrase as P
+    from ucuddle_search_engine_spark.plans.build_index import build_index_resumable
+    from ucuddle_search_engine_spark.synth import synth_corpus
+
+    corpus = synth_corpus(spark, 200, partitions=2).cache()
+    out = str(tmp_path_factory.mktemp("idx_rank"))
+    build_index_resumable(spark, corpus, out, n_units=1, write_postings=True)
+
+    phrase = ["t0", "t1"]
+    want = P.phrase_search_local(out, phrase, k=5)
+    assert (out, 0) not in P._RANK_INVALID and want  # rank engine ran clean
+    P._RANK_INVALID.add((out, 0))
+    try:
+        assert P.phrase_search_local(out, phrase, k=5) == want  # key parity
+    finally:
+        P._RANK_INVALID.discard((out, 0))
+
+    # corrupt docs.doclen to 1 → fill-time validation must reject the rank
+    # form, flag the store, and the key engine must still serve exact results
+    import glob
+    import os as _os
+
+    for f in glob.glob(_os.path.join(out, "docs", "**", "*.parquet"), recursive=True):
+        t = pq.read_table(f)
+        ones = pds.dataset(f).to_table().column("doclen")
+        import pyarrow as pa
+
+        t = t.set_column(t.schema.get_field_index("doclen"), "doclen",
+                         pa.array([1] * len(t), type=ones.type))
+        pq.write_table(t, f)
+    assert P.phrase_search_local(out, phrase, k=5) == want
+    assert (out, 0) in P._RANK_INVALID
