@@ -184,6 +184,11 @@ def bench_routed(spark, n_docs: int) -> dict | None:
 
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [1_000_000]
+    # the 5M-doc distributed phrase join OOMs an 8g heap (one observed task
+    # failure); this box has 128 GiB — give the bench JVM real headroom
+    import os
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark("bench_query_classes", cores=32, shuffle_partitions=32)
     out: dict = {"n_warm": N_WARM, "sizes": {}}
     for n in sizes:

@@ -47,6 +47,11 @@ QUERIES = [(["t0", "t1"], "or"), (["t10", "t40"], "and"), (["t50", "t120", "t300
 
 
 def main() -> None:
+    # 5M-doc legs flirt with an 8g heap's GC limits (observed GCLocker
+    # retry aborts); the box has 128 GiB — give the bench JVM headroom
+    import os
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark("scale_curve", cores=32, shuffle_partitions=64)
     out: dict = {"cpus": 32, "sizes": {}}
     for n, corpus_path in SIZES.items():
