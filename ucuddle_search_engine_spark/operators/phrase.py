@@ -89,9 +89,14 @@ class PhraseKeysCache:
         import threading
 
         if max_keys is None:
+            # ~5% of RAM at 8 B/key worst case (int32 rank entries are half
+            # that), floor 8M. Must hold BOTH terms of a head-head phrase at
+            # once: two 210M-key terms (5M docs) thrashed the earlier 400M
+            # cap into warm == re-gather, the same failure mode the decode
+            # cache hit at 16M
             try:
                 ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-                max_keys = min(max(8_000_000, ram // 40 // 8), 1_000_000_000)
+                max_keys = min(max(8_000_000, ram // 20 // 8), 1_500_000_000)
             except (ValueError, OSError, AttributeError):
                 max_keys = 8_000_000
         self.max_keys = max_keys
