@@ -166,7 +166,7 @@ def phrase_search_local(store_dir: str, terms: list[str], k: int = 10,
                                 "(build with write_postings=True)")
 
     res = None
-    if field == 0 and (store_dir, field) not in _RANK_INVALID:
+    if field == 0 and len(terms) < 250 and (store_dir, field) not in _RANK_INVALID:
         offsets = _token_offsets(store_dir, cache)
         if offsets is not None:
             loaded = _load_entries(root, terms, field, cache, offsets)
@@ -301,8 +301,10 @@ def _load_entries(root: str, terms: list[str], field: int, cache,
             if len(pos) and not bool((pos < np.repeat(span, oc)).all()):
                 return None
             ranks = np.repeat(offsets[sdocs], oc) + pos
-            if total + 8 < 2**31:  # int32 ranks halve probe memory traffic
-                ranks = ranks.astype(np.int32)
+            if total + 256 < 2**32:  # uint32 ranks halve probe memory
+                # traffic; +256 headroom keeps rank+i from wrapping for any
+                # phrase the rank engine accepts (len < 250, see caller)
+                ranks = ranks.astype(np.uint32)
             bits = np.zeros(total + 8, dtype=bool)
             bits[ranks] = True
             entry = (ranks, sdocs, oc, dls,
@@ -351,33 +353,39 @@ def _match_rank(loaded: dict, terms: list[str], offsets):
     empty = np.empty(0, dtype=np.int64)
     if not len(ranks):
         return empty, empty, sdocs, dls
-    rdt = ranks.dtype
+    rdt = ranks.dtype.type
     bit_lut = np.left_shift(np.ones(8, dtype=np.uint8), np.arange(8, dtype=np.uint8))
     cand_r = ranks
-    cand_doc = np.repeat(sdocs.astype(np.int32 if rdt == np.int32 else np.int64), oc)
-    cand_lim = None  # first rank past the candidate's doc span+guard; lazy
+    # candidate docs are derived LAZILY (searchsorted into offsets) — for the
+    # common 2-term phrase they're only computed for the ~1-10% of candidates
+    # that survive, instead of materializing a repeat() the size of the whole
+    # head-term occurrence list before filtering
+    cand_doc = None
     for i, t in enumerate(terms[1:], start=1):
         ent = loaded[t]
         if not len(ent[0]):
             return empty, empty, sdocs, dls
         packed = ent[4]
         if i >= 2:  # distance 1 is guarded by the per-doc guard slot itself
-            if cand_lim is None:
-                cand_lim = offsets[np.asarray(cand_doc, dtype=np.int64) + 1].astype(rdt)
-            keep = (cand_r + i) < cand_lim
+            if cand_doc is None:
+                cand_doc = np.searchsorted(offsets, cand_r, side="right") - 1
+            keep = (cand_r + rdt(i)) < offsets[cand_doc + 1].astype(cand_r.dtype)
             if not keep.all():
-                cand_r, cand_doc, cand_lim = cand_r[keep], cand_doc[keep], cand_lim[keep]
+                cand_r, cand_doc = cand_r[keep], cand_doc[keep]
                 if not len(cand_r):
                     return empty, empty, sdocs, dls
-        idx = cand_r + i
-        # uint8 LUT keeps the whole probe in uint8 — no int64 promotion of
-        # 10^7-10^8-element temporaries (the measured hot spot)
-        hit = (packed[idx >> 3] & bit_lut[idx & 7]) != 0
-        cand_r, cand_doc = cand_r[hit], cand_doc[hit]
-        if cand_lim is not None:
-            cand_lim = cand_lim[hit]
+        idx = cand_r + rdt(i)
+        # uint8 LUT keeps the whole probe in uint8 (and ranks in uint32 when
+        # the token space allows) — no int64 promotion of 10^7-10^8-element
+        # temporaries (the measured hot spot)
+        hit = (packed[idx >> rdt(3)] & bit_lut[idx & rdt(7)]) != 0
+        cand_r = cand_r[hit]
+        if cand_doc is not None:
+            cand_doc = cand_doc[hit]
         if not len(cand_r):
             return empty, empty, sdocs, dls
+    if cand_doc is None:
+        cand_doc = np.searchsorted(offsets, cand_r, side="right") - 1
     # candidates kept first-term rank order, so docs stay sorted
     uniq, tf = np.unique(cand_doc, return_counts=True)
     return uniq, tf, sdocs, dls.astype(np.int64)
