@@ -24,7 +24,16 @@ from .bm25 import B, K1, idf_col, tf_norm_col
 
 
 def phrase_match(postings: DataFrame, terms: list[str], field: int = 0) -> DataFrame:
-    """(doc_id, phrase_tf) for docs containing the exact term sequence."""
+    """(doc_id, phrase_tf) for docs containing the exact term sequence.
+
+    Join-chain formulation ON PURPOSE: only the FIRST term's positions
+    explode; every later term joins on doc_id with its positions kept as a
+    packed array probed by array_contains. The tempting "classic"
+    alternative — explode every slot as (doc_id, pos - i) and count slots
+    per start in one groupBy — was measured 3.5× SLOWER at 1M docs
+    (39.9 s vs 11.5 s, head-head): it shuffles every occurrence of every
+    term, while the join chain shuffles one packed row per (term, doc) and
+    scans the ≤tf-element array JVM-side."""
     if not terms:
         raise ValueError("empty phrase")
     first = (
