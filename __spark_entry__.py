@@ -568,6 +568,20 @@ def q_phrase_match(spark, sf_dir):
     return phrase_match(idx.postings, PHRASE)
 
 
+def q_phrase_search_topk(spark, sf_dir):
+    """BM25-scored quoted-phrase top-10 (Lucene PhraseQuery semantics: the
+    phrase scores as one pseudo-term with tf = phrase_tf, df = matching
+    docs) — the ranked form of phrase_match, the semantics both the
+    distributed and the serving-tier phrase engines are parity-tested
+    against (operators/phrase.py)."""
+    from ucuddle_search_engine_spark.operators.phrase import phrase_search
+
+    documents = load_table(spark, sf_dir, "documents")
+    idx = InvertedIndex.from_documents_table(documents)
+    out = phrase_search(idx.postings, idx.dstats, idx.cstats, PHRASE, k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 PR_ITERS = 5
 
 
@@ -1443,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "phrase_match": q_phrase_match,
+        "phrase_search_topk": q_phrase_search_topk,
         "json_extract_props": q_json_extract_props,
         "rollup_revenue": q_rollup_revenue,
         "search_highlight": q_search_highlight,
@@ -1658,6 +1673,30 @@ def oracle_sql() -> dict[str, str]:
             FROM tp a JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
             WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
             GROUP BY a.doc_id
+        """,
+        "phrase_search_topk": f"""
+            WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t FROM documents),
+            tp AS (
+              SELECT doc_id, u.term AS term, u.pos AS pos FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(t)), i -> {{'term': t[i+1], 'pos': i}})) AS u
+                FROM t0
+              )
+            ),
+            m AS (
+              SELECT a.doc_id, CAST(count(*) AS DOUBLE) AS phrase_tf
+              FROM tp a JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+              GROUP BY a.doc_id
+            ),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS doclen FROM tp GROUP BY doc_id),
+            coll AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doclen) AS avgdl FROM dl),
+            dfp AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM m)
+            SELECT m.doc_id AS doc_id,
+                   CAST(round( ln(1.0 + (coll.n_docs - dfp.df + 0.5) / (dfp.df + 0.5))
+                        * m.phrase_tf / (m.phrase_tf + {K1} * (1.0 - {B} + {B} * dl.doclen / coll.avgdl)), 6) AS DOUBLE) AS score
+            FROM m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN coll CROSS JOIN dfp
+            ORDER BY score DESC, m.doc_id ASC LIMIT 10
         """,
         "json_extract_props": """
             SELECT event_type, count(*) AS n,
