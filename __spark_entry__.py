@@ -578,8 +578,10 @@ def q_phrase_search_topk(spark, sf_dir):
 
     documents = load_table(spark, sf_dir, "documents")
     idx = InvertedIndex.from_documents_table(documents)
-    out = phrase_search(idx.postings, idx.dstats, idx.cstats, PHRASE, k=10)
-    return out.select("doc_id", F.round("score", 6).alias("score"))
+    # round_dp=6: round BEFORE the orderBy/limit cut (the oracle rounds
+    # inside its CTE), so k-boundary ties break by doc_id on both sides
+    return phrase_search(idx.postings, idx.dstats, idx.cstats, PHRASE, k=10,
+                         round_dp=6)
 
 
 PR_ITERS = 5
@@ -1444,9 +1446,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_or": q_bm25_wand_or,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        # registry capped at 50 entries: the round-5 driver harness sampled
+        # 50 of 52 and silently dropped the rest. ngram_jaccard_pairs (exact,
+        # uncapped) and simhash_fingerprints are folded out — their semantics
+        # stay pinned by tests/test_ann_dedup.py (test_jaccard_pairs_exact,
+        # test_simhash_bits_and_neardups) and their production forms remain
+        # oracle-checked here (ngram_jaccard_capped, simhash_hamming_pairs,
+        # which computes the fingerprints internally).
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
@@ -1581,21 +1588,6 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         """,
-        "ngram_jaccard_pairs": f"""
-            WITH {_SHINGLES_SQL},
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id
-            )
-            SELECT doc_a, doc_b,
-                   CAST(round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS DOUBLE) AS jaccard
-            FROM inter
-            JOIN sizes sa ON doc_a = sa.doc_id
-            JOIN sizes sb ON doc_b = sb.doc_id
-            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
-        """,
         "ngram_jaccard_capped": f"""
             WITH {_SHINGLES_SQL},
             df AS (SELECT shingle, count(*) AS d FROM sh GROUP BY shingle),
@@ -1613,23 +1605,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
-        """,
-        "simhash_fingerprints": f"""
-            WITH toks AS ({TOKS_SQL}),
-            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-            h AS (
-              SELECT doc_id, tf, CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS h FROM tf
-            ),
-            votes AS (
-              SELECT doc_id, b.bit,
-                     sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS v
-              FROM h CROSS JOIN (SELECT range AS bit FROM range(60)) b
-              GROUP BY doc_id, b.bit
-            )
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END)
-                        AS BIGINT) AS simhash
-            FROM votes GROUP BY doc_id
         """,
         "simhash_hamming_pairs": _simhash_pairs_sql(),
         "embedding_neardup_pairs": """

@@ -95,6 +95,15 @@ def main() -> None:
     #    recompute; the last trial's segments stay cached for the searcher.
     from ucuddle_search_engine_spark.operators.postings import build_postings_fast
 
+    # untimed warmup trial: the first index build per JVM pays whole-stage
+    # codegen compilation + Arrow/python-worker spin-up (~3-5 s at sf0.1),
+    # which made the r5 spread [1.67, 6.81] say more about JVM warmup than
+    # about the engine. One throwaway run outside timing pins the spread to
+    # the steady state the engine actually has.
+    warm_idx = InvertedIndex.from_documents_table(documents)
+    build_segments(build_postings_fast(warm_idx.docs, fields={0: "content"}),
+                   None, warm_idx.cstats, num_shards=3).count()
+
     build_ts = []
     segments = idx = None
     for _ in range(N_TRIALS):

@@ -276,7 +276,12 @@ class SearchApp:
                     cache=view.phrase_cache,
                 )[offset:]
                 return self._hydrate(view, terms, hits, highlight)
-            mode = "and"
+            # no positional sidecar: degrade the quoted query to AND (every
+            # phrase term present, order not enforced) — and keep that
+            # guarantee by skipping fuzzy expansion, which would reset the
+            # mode to OR and lose the all-terms contract the fallback exists
+            # to preserve
+            mode, fuzzy = "and", False
         if fuzzy:
             # ES fuzziness:AUTO (web_old/elastic_interaction.py:23): expand
             # each term against the vocabulary, score the expanded set as one

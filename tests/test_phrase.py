@@ -107,7 +107,10 @@ def test_phrase_search_over_written_store(spark, tmp_path_factory):
     assert phrase_search_local(out, phrase, k=5, dead=dead, cache=pkc) == with_dead
     tiny = PhraseKeysCache(max_keys=1)  # every term over budget → evict-churn
     assert phrase_search_local(out, phrase, k=5, cache=tiny) == cold
-    assert tiny._n <= max(len(v[0]) for v in tiny._d.values() or [((),)])
+    # byte-charged LRU: resident bytes never exceed one entry's actual size
+    # (a single over-budget entry is allowed to stay to serve its own query)
+    assert tiny._n <= max((tiny._nbytes(v) for v in tiny._d.values()), default=0)
+    assert len(tiny._d) <= 2  # the current query's terms at most, never growth
 
 
 def test_phrase_local_rank_engine_and_fallback(spark, tmp_path_factory):

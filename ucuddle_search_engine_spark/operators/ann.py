@@ -158,8 +158,18 @@ class IVFIndex:
     # the sample is the hard cutoff; in effect regardless of the caller's
     # sample_rate
     TRAIN_CAP = 100_000
+    # n_probe="auto" (the default): probe at least this fraction of cells,
+    # then keep growing while the next centroid is within AUTO_MARGIN cosine
+    # of the best one (a near-tie centroid is as likely to hold neighbors).
+    # A fixed tiny n_probe on unstructured (isotropic) data silently returns
+    # ~30% recall (BENCH/recall.json r5); the floor keeps the default
+    # operating point ≥ ~0.7 recall@10 at ≤ 25% scan on that worst case,
+    # while clustered data (big sim gaps) stays at the fraction floor.
+    AUTO_SCAN_FRACTION = 0.25
+    AUTO_MARGIN = 0.02
 
-    def __init__(self, emb: DataFrame, n_centroids: int = 16, n_probe: int = 4,
+    def __init__(self, emb: DataFrame, n_centroids: int = 16,
+                 n_probe: "int | str" = "auto",
                  sample_rate: int = 1, train_iters: int = 8,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  centroids: "np.ndarray | None" = None):
@@ -186,9 +196,17 @@ class IVFIndex:
                 rate = max(1, -(-n // self.TRAIN_CAP))
             sampled = emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(rate)) == 0) \
                 if rate > 1 else emb
-            train = np.array([r[0] for r in
-                              sampled.select(vec_col).limit(self.TRAIN_CAP).collect()],
-                             dtype=np.float64)
+            # deterministic hard cutoff: when the sample overshoots TRAIN_CAP
+            # (caller-trusted rate, skewed hash), a bare .limit() would keep
+            # partition-order-dependent rows and the centroids would drift
+            # across runs/cluster layouts; ordering by (hash, id) makes the
+            # kept set a pure function of the data (TakeOrderedAndProject —
+            # a bounded top-k, never a full sort shuffle)
+            train = np.array([
+                r[0] for r in sampled.select(
+                    vec_col, F.xxhash64(F.col(id_col)).alias("_h"), F.col(id_col).alias("_i")
+                ).orderBy("_h", "_i").limit(self.TRAIN_CAP).collect()
+            ], dtype=np.float64)
             self.train_size_ = len(train)
             train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
             rng = np.random.RandomState(SEED)
@@ -215,11 +233,27 @@ class IVFIndex:
         cell_udf = F.pandas_udf(_cells, T.IntegerType())
         self.assigned = emb.withColumn("_cell", cell_udf(F.col(vec_col)))
 
+    def _probe_cells(self, qn: np.ndarray) -> list[int]:
+        """Probed cell ids for a (normalized) query — fixed n_probe, or the
+        auto rule: ceil(AUTO_SCAN_FRACTION · cells) floor, grown while the
+        next centroid sits within AUTO_MARGIN of the best (driver-side
+        n_centroids dot products, independent of corpus size)."""
+        sims = self.centroids @ qn
+        order = np.argsort(-sims)
+        if self.n_probe == "auto":
+            n = max(1, int(np.ceil(len(order) * self.AUTO_SCAN_FRACTION)))
+            cut = float(sims[order[0]]) - self.AUTO_MARGIN
+            while n < len(order) and float(sims[order[n]]) >= cut:
+                n += 1
+        else:
+            n = int(self.n_probe)
+        return [int(c) for c in order[:n]]
+
     def topk(self, query_vec: list[float], k: int = 10) -> DataFrame:
         qv = np.asarray(query_vec, dtype=np.float64)
         qn = qv / max(np.linalg.norm(qv), 1e-12)
-        probes = np.argsort(-(self.centroids @ qn))[: self.n_probe].tolist()
-        pruned = self.assigned.filter(F.col("_cell").isin([int(p) for p in probes]))
+        probes = self._probe_cells(qn)
+        pruned = self.assigned.filter(F.col("_cell").isin(probes))
         return cosine_topk_bruteforce(pruned, list(query_vec), k=k,
                                       id_col=self.id_col, vec_col=self.vec_col)
 

@@ -23,17 +23,15 @@ from pyspark.sql import functions as F
 from .bm25 import B, K1, idf_col, tf_norm_col
 
 
-def phrase_match(postings: DataFrame, terms: list[str], field: int = 0) -> DataFrame:
-    """(doc_id, phrase_tf) for docs containing the exact term sequence.
-
-    Join-chain formulation ON PURPOSE: only the FIRST term's positions
-    explode; every later term joins on doc_id with its positions kept as a
-    packed array probed by array_contains. The tempting "classic"
-    alternative — explode every slot as (doc_id, pos - i) and count slots
-    per start in one groupBy — was measured 3.5× SLOWER at 1M docs
-    (39.9 s vs 11.5 s, head-head): it shuffles every occurrence of every
-    term, while the join chain shuffles one packed row per (term, doc) and
-    scans the ≤tf-element array JVM-side."""
+def phrase_match_join(postings: DataFrame, terms: list[str], field: int = 0) -> DataFrame:
+    """(doc_id, phrase_tf) via the pure-relational join chain — the
+    SQL-oracle-replayable REFERENCE form the fast path is parity-tested
+    against: only the FIRST term's positions explode; every later term joins
+    on doc_id with its positions kept as a packed array probed by
+    array_contains. Kept as the oracle/verification implementation;
+    phrase_match (below) is the production path — the join chain re-shuffles
+    the phrase terms' postings once per phrase POSITION (11.5 s warm
+    head-head at 1M docs), the bucketed merge shuffles them once total."""
     if not terms:
         raise ValueError("empty phrase")
     first = (
@@ -52,6 +50,72 @@ def phrase_match(postings: DataFrame, terms: list[str], field: int = 0) -> DataF
     return out.groupBy("doc_id").agg(F.count("*").cast("long").alias("phrase_tf"))
 
 
+def phrase_match(postings: DataFrame, terms: list[str], field: int = 0,
+                 num_buckets: int | None = None) -> DataFrame:
+    """(doc_id, phrase_tf) for docs containing the exact term sequence —
+    the production path: ONE shuffle of the phrase terms' (pruned) postings
+    on a doc-id bucket, then the serving tier's sorted-key adjacency merge
+    ((doc_id << 32) | position composite keys, operators/phrase
+    _match_key) runs vectorized inside an applyInPandas per bucket.
+
+    Scale shape: the scan prunes to the |q| phrase terms (tb directories +
+    pushed term predicate on written sidecars), each (term, doc) row is
+    shuffled exactly once (the join-chain alternative re-shuffles per phrase
+    position — measured 10× slower warm at 1M docs), buckets are hash-disjoint
+    in doc_id so every doc's adjacency is decided wholly inside one task, and
+    per-task memory is O(Σ pruned postings / num_buckets). Bit-identical
+    phrase_tf to phrase_match_join (parity-tested)."""
+    if not terms:
+        raise ValueError("empty phrase")
+    import pandas as pd
+
+    spark = postings.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tlist = list(terms)
+    pruned = postings.filter(
+        F.col("term").isin(sorted(set(tlist))) & (F.col("field") == field)
+    ).select("term", "doc_id", "positions")
+
+    def match_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        keys: dict[str, np.ndarray] = {}
+        for t, sub in pdf.groupby("term", sort=False):
+            docs = sub["doc_id"].to_numpy(dtype=np.int64)
+            poslists = sub["positions"].to_numpy()
+            counts = np.fromiter((len(p) for p in poslists), np.int64, len(poslists))
+            if not counts.sum():
+                keys[t] = np.empty(0, np.int64)
+                continue
+            flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in poslists])
+            kt = (np.repeat(docs, counts) << 32) | flat
+            kt.sort()
+            keys[t] = kt
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "phrase_tf": pd.Series(dtype="int64")})
+        if any(t not in keys or not len(keys[t]) for t in tlist):
+            return empty
+        cur = keys[tlist[0]]
+        for i, t in enumerate(tlist[1:], start=1):
+            kt = keys[t]
+            probe = cur + i
+            idx = np.searchsorted(kt, probe)
+            ok = idx < len(kt)
+            ok[ok] = kt[idx[ok]] == probe[ok]
+            cur = cur[ok]
+            if not len(cur):
+                return empty
+        uniq, tf = np.unique(cur >> 32, return_counts=True)
+        return pd.DataFrame({"doc_id": uniq.astype(np.int64),
+                             "phrase_tf": tf.astype(np.int64)})
+
+    return (
+        pruned.groupBy(F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).alias("_b"))
+        .applyInPandas(match_bucket, schema="doc_id long, phrase_tf long")
+    )
+
+
 def phrase_search(
     postings: DataFrame,
     dstats: DataFrame,
@@ -59,23 +123,26 @@ def phrase_search(
     terms: list[str],
     k: int = 20,
     field: int = 0,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """BM25-scored phrase top-k: the phrase is scored as one pseudo-term with
     tf = phrase_tf and df = number of docs containing the phrase (how Lucene
-    scores a PhraseQuery)."""
-    matches = phrase_match(postings, terms, field=field)
+    scores a PhraseQuery). round_dp: boundary-stable mode — scores are
+    rounded BEFORE the top-k cut so docs tying at the k-th ROUNDED score
+    break by doc_id exactly like a rounded-score SQL oracle (the same
+    contract as wand.search_terms' round_dp)."""
+    matches = phrase_match(postings, terms, field=field).persist()
     n_phrase_docs = matches.count()
     coll = {r["field"]: (r["n_docs"], r["avgdl"]) for r in cstats.collect()}
     n_docs, avgdl = coll[field]
-    scored = (
-        matches.join(dstats.filter(F.col("field") == field), "doc_id")
-        .select(
-            "doc_id",
-            (
-                idf_col(F.lit(float(n_phrase_docs)), F.lit(float(n_docs)))
-                * tf_norm_col(F.col("phrase_tf").cast("double"), F.col("doclen").cast("double"), F.lit(float(avgdl)))
-            ).alias("score"),
-        )
+    score = (
+        idf_col(F.lit(float(n_phrase_docs)), F.lit(float(n_docs)))
+        * tf_norm_col(F.col("phrase_tf").cast("double"), F.col("doclen").cast("double"), F.lit(float(avgdl)))
+    )
+    if round_dp is not None:
+        score = F.round(score, round_dp)
+    scored = matches.join(dstats.filter(F.col("field") == field), "doc_id").select(
+        "doc_id", score.alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
@@ -85,33 +152,42 @@ class PhraseKeysCache:
     serving-tier phrase path — the positional analogue of wand.DecodeCache:
     a static store's sidecar rows build the same key array on every query and
     head terms recur across phrases, so the read+gather (the dominant phrase
-    cost) is paid once per term. Bounded by TOTAL CACHED KEYS (8 B each), so
-    memory stays fixed at any corpus/vocabulary size; sized to hold a couple
-    of head-term arrays (tf × df keys each). Entries are unfiltered —
-    tombstones apply after matching, exactly where they applied post-read.
-    Thread-safe like DecodeCache (serve.py is a ThreadingHTTPServer); the
-    cache lives on the serving view and drops on store reopen."""
+    cost) is paid once per term. Bounded by the entries' ACTUAL resident
+    bytes (Σ nbytes over every array in an entry — keys/ranks, docs, tfs,
+    doclens AND the rank-form's corpus-sized packed bitmap), so memory stays
+    fixed at any corpus/vocabulary size: a rare term whose bitmap alone is
+    ~(Σdoclen)/8 bytes is charged that bitmap, not just its handful of keys.
+    Entries are unfiltered — tombstones apply after matching, exactly where
+    they applied post-read. Thread-safe like DecodeCache (serve.py is a
+    ThreadingHTTPServer); the cache lives on the serving view and drops on
+    store reopen."""
 
-    __slots__ = ("max_keys", "_d", "_n", "_lock")
+    __slots__ = ("max_bytes", "_d", "_n", "_lock")
 
-    def __init__(self, max_keys: int | None = None):
+    def __init__(self, max_keys: int | None = None, max_bytes: int | None = None):
         import threading
 
-        if max_keys is None:
-            # ~5% of RAM at 8 B/key worst case (int32 rank entries are half
-            # that), floor 8M. Must hold BOTH terms of a head-head phrase at
-            # once: two 210M-key terms (5M docs) thrashed the earlier 400M
-            # cap into warm == re-gather, the same failure mode the decode
-            # cache hit at 16M
+        if max_bytes is None and max_keys is not None:
+            # legacy knob: keys were charged at 8 B each
+            max_bytes = max_keys * 8
+        if max_bytes is None:
+            # ~10% of RAM, floor 256 MB. Must hold BOTH terms of a head-head
+            # phrase at once (each: keys + bitmap); two 210M-key terms
+            # (5M docs) need ~2.5 GB total, which a 128 GB box clears easily
+            # and a small box correctly refuses to hold
             try:
                 ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-                max_keys = min(max(8_000_000, ram // 20 // 8), 1_500_000_000)
+                max_bytes = min(max(256_000_000, ram // 10), 16_000_000_000)
             except (ValueError, OSError, AttributeError):
-                max_keys = 8_000_000
-        self.max_keys = max_keys
+                max_bytes = 256_000_000
+        self.max_bytes = max_bytes
         self._d: dict[tuple, tuple] = {}  # insertion-ordered → LRU
         self._n = 0
         self._lock = threading.Lock()
+
+    @staticmethod
+    def _nbytes(v: tuple) -> int:
+        return sum(getattr(a, "nbytes", 0) for a in v)
 
     def get(self, key: tuple):
         with self._lock:
@@ -124,14 +200,14 @@ class PhraseKeysCache:
         with self._lock:
             old = self._d.pop(key, None)
             if old is not None:
-                self._n -= len(old[0])
+                self._n -= self._nbytes(old)
             self._d[key] = v
-            self._n += len(v[0])
-            while self._n > self.max_keys and self._d:
+            self._n += self._nbytes(v)
+            while self._n > self.max_bytes and self._d:
                 k0 = next(iter(self._d))
                 if k0 == key and len(self._d) == 1:
                     break  # a single over-budget entry still serves its query
-                self._n -= len(self._d.pop(k0)[0])
+                self._n -= self._nbytes(self._d.pop(k0))
 
 
 def phrase_search_local(store_dir: str, terms: list[str], k: int = 10,
@@ -314,14 +390,28 @@ def _load_entries(root: str, terms: list[str], field: int, cache,
                 # traffic; +256 headroom keeps rank+i from wrapping for any
                 # phrase the rank engine accepts (len < 250, see caller)
                 ranks = ranks.astype(np.uint32)
-            bits = np.zeros(total + 8, dtype=bool)
-            bits[ranks] = True
-            entry = (ranks, sdocs, oc, dls,
-                     np.packbits(bits, bitorder="little"))
+            entry = (ranks, sdocs, oc, dls, _pack_rank_bits(ranks, total))
         loaded[t] = entry
         if cache is not None:
             cache.put((t, field, form), entry)
     return loaded
+
+
+def _pack_rank_bits(ranks, total: int):
+    """Little-endian packed bitmap with the SORTED ranks' bits set — built
+    directly at 1 bit/token (the old bool-array + packbits route held a
+    transient 1 B/token array, ~8× the packed size, ~0.5 GB at 5M docs).
+    Ranks are globally sorted (see caller), so equal byte indices are
+    adjacent and one bitwise_or.reduceat per byte-run sets every bit."""
+    import numpy as np
+
+    packed = np.zeros(total // 8 + 2, dtype=np.uint8)
+    if len(ranks):
+        byte_idx = (ranks >> 3).astype(np.int64)
+        vals = np.left_shift(np.uint8(1), (ranks & 7).astype(np.uint8))
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(byte_idx)) + 1))
+        packed[byte_idx[starts]] = np.bitwise_or.reduceat(vals, starts)
+    return packed
 
 
 def _match_key(loaded: dict, terms: list[str]):
