@@ -70,6 +70,27 @@ def main() -> None:
             "scan_fraction": round(n_probe / len(IVF_CENTROIDS), 4),
         }
     out["ivf_topk"] = ivf
+
+    # --- DEFAULT operating point: IVFIndex(emb) — auto centroids (4·√n) +
+    # auto probe growth. This is what a user gets with no tuning; the r5
+    # verdict's directive is that the default must never silently return
+    # ~30% recall. Scan fraction measured in VECTORS (cell sizes differ).
+    auto_idx = IVFIndex(emb)
+    sizes = {r["_cell"]: r["c"] for r in
+             auto_idx.assigned.groupBy("_cell").agg(F.count("*").alias("c")).collect()}
+    hits = scanned = 0
+    for q in qids:
+        qv = np.asarray(qvecs[q], dtype=np.float64)
+        cells = auto_idx._probe_cells(qv / np.linalg.norm(qv))
+        scanned += sum(sizes.get(c, 0) for c in cells)
+        got = [r["vec_id"] for r in auto_idx.topk(qvecs[q], k=10).collect()]
+        hits += len(set(got) & set(truth[q]))
+    out["ivf_topk_auto_default"] = {
+        "n_centroids": int(len(auto_idx.centroids)),
+        "recall_at_10": round(hits / (10 * len(qids)), 4),
+        "scan_fraction_vectors": round(scanned / (n * len(qids)), 4),
+    }
+
     out["note_unstructured"] = (
         "the sf0.1 synthetic embeddings are near-isotropic (max pairwise cos "
         "≈0.5, no duplicate or cluster structure), so these are WORST-CASE "

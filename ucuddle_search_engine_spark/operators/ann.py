@@ -12,6 +12,8 @@ Two paths (training-data-pipeline requirement):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -168,7 +170,7 @@ class IVFIndex:
     AUTO_SCAN_FRACTION = 0.25
     AUTO_MARGIN = 0.02
 
-    def __init__(self, emb: DataFrame, n_centroids: int = 16,
+    def __init__(self, emb: DataFrame, n_centroids: "int | None" = None,
                  n_probe: "int | str" = "auto",
                  sample_rate: int = 1, train_iters: int = 8,
                  id_col: str = "vec_id", vec_col: str = "embedding",
@@ -189,11 +191,24 @@ class IVFIndex:
             # Either way a .limit(TRAIN_CAP) after the sample is the hard
             # cutoff — an IVFIndex(emb) on a 100 TB corpus never collects
             # the corpus, and a skewed hash can't overshoot the cap
+            n = None
             if sample_rate > 1:
                 rate = sample_rate
             else:
                 n = emb.count()
                 rate = max(1, -(-n // self.TRAIN_CAP))
+            if n_centroids is None:
+                # quantization-granularity default, 4·√n clamped: the fixed
+                # coarse default (16 cells) pinned recall to what 2-of-16
+                # probing can see — 0.45@25% scan on isotropic vectors
+                # (BENCH/recall.json r5). Finer cells raise neighbors-per-
+                # scanned-vector at ANY scan fraction; 4√n (the FAISS
+                # sizing guideline's fine end) measured 0.70-0.79 recall@10
+                # at the same 25% scan floor. n//8 keeps ≥8 vectors/cell so
+                # tiny corpora don't degenerate to one-point cells.
+                if n is None:
+                    n = emb.count()
+                n_centroids = int(min(max(16, 4 * math.isqrt(n)), max(16, n // 8), 65536))
             sampled = emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(rate)) == 0) \
                 if rate > 1 else emb
             # deterministic hard cutoff: when the sample overshoots TRAIN_CAP
