@@ -368,3 +368,71 @@ def test_decode_cache_default_cap_ram_derived(monkeypatch):
     assert cap == min(max(16_000_000, ram // 20 // 24), 512_000_000)
     monkeypatch.setenv("UCUDDLE_DECODE_CACHE_POSTINGS", "12345")
     assert _default_decode_cache_postings() == 12345
+
+
+def test_search_local_taat_and_grouping_parity(spark, tmp_path_factory):
+    """The serving-tier routing knobs must never change answers: TAAT
+    (head-dominated exhaustive), block-max wand, exact, per-(shard, unit)
+    vs shard-only grouping, and the distributed path all rank and score
+    identically on the same written store."""
+    from ucuddle_search_engine_spark.operators import wand as W
+    from ucuddle_search_engine_spark.plans.build_index import (
+        build_index_resumable,
+        load_searcher,
+    )
+    from ucuddle_search_engine_spark.synth import synth_corpus
+
+    corpus = synth_corpus(spark, 400, partitions=4).cache()
+    out = str(tmp_path_factory.mktemp("idx_taat"))
+    build_index_resumable(spark, corpus, out, n_units=2, write_postings=True)
+
+    dist = load_searcher(spark, out).prepare()
+    local = SegmentSearcher.open_local(out)
+
+    def run(terms, mode, **kw):
+        return [(d, round(s, 9)) for d, s in
+                local.search_local(terms, k=10, mode=mode, **kw)]
+
+    for terms, mode in ((["t0", "t1"], "or"), (["t0", "t1", "t2", "t3"], "or"),
+                        (["t5", "t40"], "and"), (["t123"], "or")):
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                dist.search_terms(terms, k=10, mode=mode).collect()]
+        got_auto = run(terms, mode)
+        got_taat = run(terms, mode, algorithm="taat")
+        got_wand = run(terms, mode, algorithm="wand")
+        got_exact = run(terms, mode, algorithm="exact")
+        assert got_auto == want, (terms, mode, "auto")
+        assert got_taat == want, (terms, mode, "taat")
+        assert got_wand == want, (terms, mode, "wand")
+        assert got_exact == want, (terms, mode, "exact")
+
+    # grouping granularity: force per-(shard, unit) fan-out and shard-only
+    # collapse on the same query — identical answers
+    q = ["t0", "t1"]
+    want = run(q, "or")
+    old_pu, old_td = SegmentSearcher.PER_UNIT_MIN_POSTINGS, W.TAAT_DENSITY
+    try:
+        SegmentSearcher.PER_UNIT_MIN_POSTINGS = 0
+        W.TAAT_DENSITY = 10.0  # never taat → per-unit wand/exact groups
+        assert run(q, "or") == want
+        SegmentSearcher.PER_UNIT_MIN_POSTINGS = 1 << 60  # always shard-only
+        assert run(q, "or") == want
+    finally:
+        SegmentSearcher.PER_UNIT_MIN_POSTINGS = old_pu
+        W.TAAT_DENSITY = old_td
+
+    # per-term chain cache: warm hit returns the same object; absent terms
+    # cache an empty entry; eviction keeps the budget
+    fields = sorted(local.boosts)
+    c1 = local._term_chains(["t0"], fields)["t0"]
+    c2 = local._term_chains(["t0"], fields)["t0"]
+    assert c1 is c2 and len(c1) > 0
+    assert local._term_chains(["zz9absent"], fields)["zz9absent"] == []
+    old_cap = SegmentSearcher.SEG_CACHE_ROWS
+    try:
+        SegmentSearcher.SEG_CACHE_ROWS = 1
+        local._term_chains(["t77"], fields)  # miss → insert → evict others
+        local._term_chains(["t88"], fields)
+        assert len(local._seg_chains) <= 2  # newest entry survives the purge
+    finally:
+        SegmentSearcher.SEG_CACHE_ROWS = old_cap

@@ -398,19 +398,29 @@ def _load_entries(root: str, terms: list[str], field: int, cache,
 
 
 def _pack_rank_bits(ranks, total: int):
-    """Little-endian packed bitmap with the SORTED ranks' bits set — built
-    directly at 1 bit/token (the old bool-array + packbits route held a
-    transient 1 B/token array, ~8× the packed size, ~0.5 GB at 5M docs).
-    Ranks are globally sorted (see caller), so equal byte indices are
-    adjacent and one bitwise_or.reduceat per byte-run sets every bit."""
+    """Little-endian packed bitmap with the SORTED ranks' bits set. Built
+    through a CHUNKED bool scatter + packbits: the one-shot bool route holds
+    a 1 B/token transient (~8× the packed size, hundreds of MB at 5M docs),
+    while the fully-vectorized reduceat alternative measured ~9× slower (it
+    streams four rank-sized temporaries). 64M-token windows keep the
+    transient at a fixed 64 MB and packbits at C speed; ranks are globally
+    sorted (see caller) so each window is one searchsorted slice."""
     import numpy as np
 
+    CHUNK_TOKENS = 64 * 1024 * 1024  # 64 MB bool transient, 8 MB packed
     packed = np.zeros(total // 8 + 2, dtype=np.uint8)
     if len(ranks):
-        byte_idx = (ranks >> 3).astype(np.int64)
-        vals = np.left_shift(np.uint8(1), (ranks & 7).astype(np.uint8))
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(byte_idx)) + 1))
-        packed[byte_idx[starts]] = np.bitwise_or.reduceat(vals, starts)
+        bits = np.empty(CHUNK_TOKENS, dtype=bool)
+        for lo in range(0, total + 1, CHUNK_TOKENS):
+            hi = min(lo + CHUNK_TOKENS, total + 1)
+            a, b = np.searchsorted(ranks, (lo, hi))
+            if a == b:
+                continue
+            bits[: hi - lo] = False
+            bits[ranks[a:b] - lo] = True
+            # lo is a multiple of 8·(chunk/8), so the packed slice aligns
+            packed[lo // 8: lo // 8 + (hi - lo + 7) // 8] = np.packbits(
+                bits[: hi - lo], bitorder="little")
     return packed
 
 

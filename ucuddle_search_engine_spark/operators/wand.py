@@ -521,7 +521,8 @@ class _BlockList:
         return docs, contrib
 
 
-def _aggregate_scores(docs_all: np.ndarray, contribs: np.ndarray):
+def _aggregate_scores(docs_all: np.ndarray, contribs: np.ndarray,
+                      assume_positive: bool = False):
     """(uniq_doc_ids, per-doc score sums). Doc ids are DENSE by construction
     (operators/ids assigns 0..N-1), so a weighted bincount — O(n + max_id),
     no sort — replaces unique + scatter-add whenever the id space is
@@ -535,10 +536,22 @@ def _aggregate_scores(docs_all: np.ndarray, contribs: np.ndarray):
     if not len(docs_all):
         return np.empty(0, np.int64), np.empty(0, np.float64)
     mx = int(docs_all.max())
-    if 0 <= int(docs_all.min()) and mx + 1 <= max(4 * len(docs_all), 1 << 20):
-        dense = np.bincount(docs_all, weights=contribs, minlength=mx + 1)
-        uniq = np.flatnonzero(np.bincount(docs_all, minlength=mx + 1))
-        return uniq.astype(np.int64), dense[uniq]
+    mn = int(docs_all.min())
+    # span is measured from the slice's own min id: a (shard, unit) scoring
+    # group sees ids inside one unit's range (e.g. [4.4M, 5M)), which is
+    # dense relative to ITS OWN width even though it fails an origin-based
+    # test — without the offset every late-unit group fell to the sort path
+    if mn >= 0 and mx - mn + 1 <= max(4 * len(docs_all), 1 << 20):
+        off = docs_all - mn if mn else docs_all
+        dense = np.bincount(off, weights=contribs, minlength=mx - mn + 1)
+        if assume_positive:
+            # caller guarantees every contribution > 0 (all weights
+            # positive), so nonzero sums ARE the matched set — skip the
+            # unweighted counting pass
+            uniq = np.flatnonzero(dense)
+        else:
+            uniq = np.flatnonzero(np.bincount(off, minlength=mx - mn + 1))
+        return uniq.astype(np.int64) + mn, dense[uniq]
     uniq, inv = np.unique(docs_all, return_inverse=True)
     scores = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(scores, inv, contribs)
@@ -565,6 +578,39 @@ def _topk_order(uniq: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
 #: bincount) instead of block-max pruned — see the wide-OR branch below
 WIDE_OR_LISTS = 48
 
+#: an OR query whose selected postings exceed this fraction of
+#: nterms × n_docs is HEAD-DOMINATED: block-max bounds can prune almost
+#: nothing (every block holds near-uniform impacts), so θ bookkeeping plus
+#: per-block python overhead dominates — exhaustive TAAT per SHARD (dense
+#: bincount over the shard's full doc span) is strictly faster there
+TAAT_DENSITY = 0.4
+
+
+def _taat_or(lists: list["_BlockList"], k: int,
+             dead: np.ndarray | None = None,
+             round_dp: int | None = None) -> list[tuple[int, float]]:
+    """Exhaustive term-at-a-time disjunction over whole chains: decode every
+    block (full-chain scored memo when cached), one dense aggregate, top-k.
+    No pruning — the right plan when pruning can't pay (head-dominated or
+    very wide queries)."""
+    parts = [L.decode(np.arange(len(L.ubs))) for L in lists]
+    docs_all = np.concatenate([d for d, _ in parts])
+    contribs = np.concatenate([c for _, c in parts])
+    if dead is not None and len(dead) and len(docs_all):
+        alive = ~np.isin(docs_all, dead)
+        docs_all, contribs = docs_all[alive], contribs[alive]
+    uniq, scores = _aggregate_scores(
+        docs_all, contribs,
+        # every chain weight strictly positive → every contribution is > 0,
+        # so the score sums themselves identify the matched set and the
+        # second (unweighted) bincount pass can be skipped
+        assume_positive=all(L.weight_idf > 0 for L in lists),
+    )
+    if round_dp is not None:
+        scores = np.round(scores, round_dp)  # BEFORE the cut (tie-break contract)
+    order = _topk_order(uniq, scores, k)
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
 
 def _blockmax_or_numpy(lists: list[_BlockList], k: int,
                        dead: np.ndarray | None = None) -> list[tuple[int, float]]:
@@ -590,15 +636,7 @@ def _blockmax_or_numpy(lists: list[_BlockList], k: int,
         # scores sit far below the true k-th total, so θ prunes almost
         # nothing and the bound bookkeeping dominates. Exhaustive TAAT over
         # whole chains is both faster and hits the full-chain decode memo.
-        parts = [L.decode(np.arange(len(L.ubs))) for L in lists]
-        docs_all = np.concatenate([d for d, _ in parts])
-        contribs = np.concatenate([c for _, c in parts])
-        if dead is not None and len(dead) and len(docs_all):
-            alive = ~np.isin(docs_all, dead)
-            docs_all, contribs = docs_all[alive], contribs[alive]
-        uniq, scores = _aggregate_scores(docs_all, contribs)
-        order = _topk_order(uniq, scores, k)
-        return [(int(uniq[i]), float(scores[i])) for i in order]
+        return _taat_or(lists, k, dead=dead)
     # ---- seed: globally top-ub blocks until ~4k postings are decoded ------
     owner = np.concatenate([np.full(len(L.ubs), li, np.int64) for li, L in enumerate(lists)])
     bidx = np.concatenate([np.arange(len(L.ubs), dtype=np.int64) for L in lists])
@@ -827,7 +865,6 @@ def _score_shard_rows(pdf: pd.DataFrame, widf: dict, avgdl: dict, mode: str, k: 
     # exact all handle multiple lists per term.
     gcols = ["term", "field", "unit"] if "unit" in pdf.columns else ["term", "field"]
     groups = []
-    total = 0
     for gkey, g in pdf.groupby(gcols, sort=False):
         t, f = gkey[0], gkey[1]
         key = (t, int(f))
@@ -835,7 +872,20 @@ def _score_shard_rows(pdf: pd.DataFrame, widf: dict, avgdl: dict, mode: str, k: 
             continue
         ck = (cache_shard, *gkey) if cache is not None else None
         groups.append((t, key, g, ck))
-        total += int(g["n"].sum())
+    return _score_chains(groups, widf, avgdl, mode, k, nterms, algorithm,
+                         dead, round_dp, wand_min, cache=cache)
+
+
+def _score_chains(groups: list, widf: dict, avgdl: dict, mode: str, k: int,
+                  nterms: int, algorithm: str, dead, round_dp, wand_min: int,
+                  cache: "DecodeCache | None" = None) -> list:
+    """Core scorer over prebuilt (term, (term, field), block-frame, cache-key)
+    chains — the serving tier feeds it straight from its per-term chain cache
+    (no per-query pandas groupby), the pdf form above derives chains on the
+    fly. Identical rankings either way."""
+    if not groups:
+        return []
+    total = sum(int(g["n"].sum()) for _, _, g, _ in groups)
     if mode == "and":
         # block-interval pruning: skip decoding blocks that overlap no block
         # range of some other query term
@@ -846,6 +896,14 @@ def _score_shard_rows(pdf: pd.DataFrame, widf: dict, avgdl: dict, mode: str, k: 
         if len(blists_by_term) < nterms:
             return []
         return _intersect_and_blocks(blists_by_term, k, dead=dead, round_dp=round_dp)
+    if algorithm == "taat":
+        # exhaustive disjunction (head-dominated queries, see TAAT_DENSITY):
+        # every chain fully decoded through the scored-chain memo, ONE dense
+        # aggregate over the whole group — the caller groups by shard only,
+        # so the bincount spans the shard's doc range once per query
+        blists = [_BlockList(g, widf[key], avgdl[key], cache=cache, ckey=ck)
+                  for _, key, g, ck in groups]
+        return _taat_or(blists, k, dead=dead, round_dp=round_dp)
     if round_dp is None and (algorithm == "wand" or (algorithm == "auto" and total >= wand_min)):
         # vectorized block-max scorer: decodes only blocks whose interval
         # bound can beat θ (numpy-blocked, no per-posting loop)
@@ -888,6 +946,11 @@ class SegmentSearcher:
         self._memo_lock = threading.Lock()
         self._pds: dict[str, object] = {}
         self._decode_cache: DecodeCache | None = None  # built on first search_local
+        self._pool = None  # lazy shard-parallel scoring pool (search_local)
+        import collections
+
+        self._seg_chains: "collections.OrderedDict[str, list]" = collections.OrderedDict()
+        self._seg_rows = 0
 
     def prepare(self) -> "SegmentSearcher":
         """Collect the term-stats dictionary once (one job) so every query
@@ -992,6 +1055,12 @@ class SegmentSearcher:
     # (BENCH/wand_micro.json: parity at ~0.8M, widening with size — both are
     # numpy-blocked now, so the crossover is shallow either way)
     WAND_MIN_POSTINGS = 500_000
+    #: below this many selected postings a query is scored in shard-only
+    #: groups — finer (shard, unit) fan-out only pays once chains are big
+    #: (per-group fixed overhead + per-group θ convergence both cost; at 1M
+    #: docs a 0.8M-posting mid query measured 146 ms in 3 shard groups vs
+    #: 218 ms in 12 (shard, unit) groups)
+    PER_UNIT_MIN_POSTINGS = 2_000_000
 
     def search_terms(self, terms: list[str], k: int = 20, mode: str = "and",
                      algorithm: str = "auto", offset: int = 0,
@@ -1112,6 +1181,11 @@ class SegmentSearcher:
         obj._memo_lock = threading.Lock()
         obj._pds = {}
         obj._decode_cache = None
+        obj._pool = None
+        import collections
+
+        obj._seg_chains = collections.OrderedDict()
+        obj._seg_rows = 0
         return obj
 
     def _dataset(self, rel: str):
@@ -1167,29 +1241,141 @@ class SegmentSearcher:
             widf[(t, f)] = self.boosts[f] * math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
             avgdl[(t, f)] = float(coll[f][1])
 
-        from ..functions.hashing import term_buckets
-
-        flt = pds.field("term").isin(terms) & pds.field("field").isin(fields)
-        data = self._dataset("segments")
-        if "tb" in data.schema.names:
-            flt = flt & pds.field("tb").isin(term_buckets(terms))
-        pdf = data.to_table(filter=flt).to_pandas()
+        chains_by_term = self._term_chains(terms, fields)
 
         dead = np.asarray(self.tombstones, dtype=np.int64) if self.tombstones else None
         nterms = len(terms)
         tops: list[tuple[int, float]] = []
-        if len(pdf):
+        total_sel = sum(n for t in terms
+                        for (_sh, _u, f, _g, n) in chains_by_term.get(t, ())
+                        if (t, f) in widf)
+        if total_sel:
             if self._decode_cache is None:
                 with self._memo_lock:  # threaded serving: create exactly once
                     if self._decode_cache is None:
                         self._decode_cache = DecodeCache(self.DECODE_CACHE_POSTINGS)
             cache = self._decode_cache
-            for sh, g in pdf.groupby("shard", sort=False):
-                tops.extend(
-                    _score_shard_rows(g, widf, avgdl, mode, offset + k, nterms,
-                                      algorithm, dead, round_dp,
-                                      SegmentSearcher.WAND_MIN_POSTINGS,
-                                      cache=cache, cache_shard=int(sh))
-                )
+            # Resolve auto at QUERY level from the total selected postings:
+            # the wand-vs-exact break-even is a property of the query's
+            # chains, not of how many (shard, unit) slices they span —
+            # deciding per group would demote every head query to the exact
+            # scorer once the per-group slice falls under the threshold
+            # (measured 7× slower at 5M docs).
+            n_docs_max = max(coll[f][0] for f in fields if f in coll)
+            if algorithm == "auto" and mode != "and" \
+                    and total_sel >= TAAT_DENSITY * nterms * n_docs_max:
+                # head-dominated: block-max can't prune, go exhaustive; group
+                # by SHARD ONLY so the dense bincount runs once per shard
+                # over its full doc span instead of a sort-merge per unit
+                algorithm = "taat"
+            elif algorithm == "auto" and round_dp is None \
+                    and total_sel >= SegmentSearcher.WAND_MIN_POSTINGS:
+                algorithm = "wand"
+            # Shard-parallel scoring: (shard, unit) groups are doc-disjoint —
+            # shards partition doc_id by hash, and a live doc's postings for
+            # a term live in exactly one unit (updates tombstone the prior
+            # unit's row; summing tf across units would mis-score BM25's
+            # nonlinear tf term anyway) — so per-group top-(offset+k) heaps
+            # merge by a plain sort, no cross-group score summing.
+            # DecodeCache is lock-safe; keys stay (shard, term, field, unit)
+            # — identical to the pdf-groupby path's.
+            # small selections collapse to shard-only groups: per-group fixed
+            # overhead (list/cache assembly) dominates tiny chains, so 24
+            # (shard, unit) tasks cost more than 3 slightly-bigger ones
+            per_unit = algorithm != "taat" \
+                and total_sel >= SegmentSearcher.PER_UNIT_MIN_POSTINGS
+            groups: dict = {}
+            for t in terms:
+                for sh, u, f, g, _n in chains_by_term.get(t, ()):
+                    key = (t, f)
+                    if key not in widf:
+                        continue
+                    gk = (sh, u) if per_unit and u is not None else sh
+                    ck = (sh, t, f) if u is None else (sh, t, f, u)
+                    groups.setdefault(gk, []).append((t, key, g, ck))
+
+            def run_group(chains):
+                return _score_chains(chains, widf, avgdl, mode, offset + k,
+                                     nterms, algorithm, dead, round_dp,
+                                     SegmentSearcher.WAND_MIN_POSTINGS,
+                                     cache=cache)
+
+            if len(groups) > 1:
+                for part in self._scoring_pool().map(run_group, list(groups.values())):
+                    tops.extend(part)
+            elif groups:
+                tops.extend(run_group(next(iter(groups.values()))))
         tops.sort(key=lambda x: (-x[1], x[0]))
         return tops[offset:offset + k]
+
+    # per-term segment-metadata chain cache budget (block rows). Entries hold
+    # block METADATA + varbyte bytes refs — ~0.3 KB/row plus the term's
+    # compressed postings (~2-3 B/posting); 500k rows ≈ a dozen 5M-df head
+    # terms. Bounded LRU like the tstats memo: serving-tier RAM stays fixed
+    # at ANY vocabulary size.
+    SEG_CACHE_ROWS = 500_000
+
+    def _term_chains(self, terms: list[str], fields: list[int]) -> dict:
+        """term → [(shard, unit|None, field, chain-frame, n_postings)] from
+        the segments dataset, LRU-cached per term: repeat queries skip the
+        to_table read, the arrow→pandas conversion AND the per-query groupby
+        (which together cost ~200 ms/query on a 5M-doc store's head terms).
+        Terms absent from the store cache an empty list — absence is an
+        answer too. Frames are immutable once built (threads share them)."""
+        import pyarrow.dataset as pds
+
+        from ..functions.hashing import term_buckets
+
+        out: dict = {}
+        with self._memo_lock:
+            missing = []
+            for t in terms:
+                hit = self._seg_chains.pop(t, None)
+                if hit is not None:
+                    self._seg_chains[t] = hit  # re-insert → LRU tail
+                    out[t] = hit
+                else:
+                    missing.append(t)
+        if not missing:
+            return out
+        data = self._dataset("segments")
+        flt = pds.field("term").isin(missing) & pds.field("field").isin(fields)
+        if "tb" in data.schema.names:
+            flt = flt & pds.field("tb").isin(term_buckets(missing))
+        pdf = data.to_table(filter=flt).to_pandas()
+        built: dict[str, list] = {t: [] for t in missing}
+        if len(pdf):
+            has_unit = "unit" in pdf.columns
+            gcols = ["term", "shard", "unit", "field"] if has_unit else ["term", "shard", "field"]
+            for gkey, g in pdf.groupby(gcols, sort=False):
+                if has_unit:
+                    t, sh, u, f = gkey
+                    u = int(u)
+                else:
+                    t, sh, f = gkey
+                    u = None
+                built[t].append((int(sh), u, int(f), g, int(g["n"].sum())))
+        with self._memo_lock:
+            for t, chains in built.items():
+                if t not in self._seg_chains:
+                    self._seg_chains[t] = chains
+                    self._seg_rows += sum(len(g) for _, _, _, g, _ in chains)
+                out[t] = self._seg_chains[t]
+            while self._seg_rows > self.SEG_CACHE_ROWS and len(self._seg_chains) > 1:
+                _, old = self._seg_chains.popitem(last=False)
+                self._seg_rows -= sum(len(g) for _, _, _, g, _ in old)
+        return out
+
+    def _scoring_pool(self):
+        """Shared thread pool for per-(shard, unit) scoring — created once
+        per searcher (threads are reused across queries and across the
+        serving tier's own request threads; map() just enqueues)."""
+        if self._pool is None:
+            with self._memo_lock:
+                if self._pool is None:
+                    import concurrent.futures
+
+                    self._pool = concurrent.futures.ThreadPoolExecutor(
+                        max_workers=min(32, os.cpu_count() or 8),
+                        thread_name_prefix="score")
+        return self._pool
