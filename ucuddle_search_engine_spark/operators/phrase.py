@@ -358,43 +358,102 @@ def _load_entries(root: str, terms: list[str], field: int, cache,
             flt = flt & pds.field("tb").isin(term_buckets(need))
         tab = d.to_table(filter=flt,
                          columns=["term", "doc_id", "positions", "doclen"])
+        # ONE multithreaded Arrow sort puts every term's rows in doc order —
+        # the earlier numpy route (argsort the doc rows, build a gather
+        # permutation over the flattened positions, fancy-index) was
+        # single-threaded and paid 4-8 s per 5M-df head term in big
+        # temporaries; Arrow's C++ take on the list column replaces all of
+        # it (measured 1.6 s for two such terms, cold)
+        tab = tab.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        # the table is term-sorted, so each term is ONE contiguous slice —
+        # a per-term filter() would rescan and re-materialize the whole
+        # table per term (~0.5 s per head term at 1M docs); value_counts is
+        # a single scan and slice() is zero-copy
+        vc = pc.value_counts(tab.column("term"))
+        cnt = {str(r["values"]): int(r["counts"]) for r in vc.to_pylist()}
+        slice_at = 0
     total = int(offsets[-1]) if offsets is not None else 0
+    slices = {}
     for t in need:
-        sub = tab.filter(pc.equal(tab.column("term"), t))
-        docs = sub.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        width = cnt.get(t, 0)
+        slices[t] = tab.slice(slice_at, width)  # zero-copy
+        slice_at += width
+
+    def build(t: str):
+        sub = slices[t]
+        sdocs = sub.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         posl = sub.column("positions").combine_chunks()
-        counts = pc.list_value_length(posl).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = posl.flatten().to_numpy(zero_copy_only=False)
-        # stored positions are ascending within each doc and (term,doc) rows
-        # are unique, so sorting the m doc rows and gathering each row's
-        # position run yields globally sorted keys/ranks in O(n) — no
-        # n log n sort of the flattened array (n = Σtf ≫ m = df for head
-        # terms)
-        order = np.argsort(docs, kind="stable")
-        oc = counts[order]
-        starts = np.cumsum(counts) - counts
-        out_starts = np.cumsum(oc) - oc
-        idx = (np.arange(int(oc.sum()), dtype=np.int64)
-               - np.repeat(out_starts, oc) + np.repeat(starts[order], oc))
-        sdocs = docs[order]
-        pos = flat[idx].astype(np.int64)
-        dls = sub.column("doclen").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        oc = pc.list_value_length(posl).to_numpy(zero_copy_only=False).astype(np.int64)
+        # rows are doc-sorted and stored positions ascend within each doc,
+        # so the flattened values are already in global (doc, pos) order.
+        # Kept in their stored (int32) width — the int64 ops below promote
+        # per-expression; an eager .astype would copy the whole Σtf array
+        pos = posl.flatten().to_numpy(zero_copy_only=False)
+        dls = sub.column("doclen").to_numpy(zero_copy_only=False).astype(np.int64)
         if form == "k":
             entry = ((np.repeat(sdocs, oc) << 32) | pos, sdocs, dls)
         else:
             span = offsets[sdocs + 1] - offsets[sdocs] - 1  # -1: guard slot
-            if len(pos) and not bool((pos < np.repeat(span, oc)).all()):
-                return None
-            ranks = np.repeat(offsets[sdocs], oc) + pos
-            if total + 256 < 2**32:  # uint32 ranks halve probe memory
-                # traffic; +256 headroom keeps rank+i from wrapping for any
-                # phrase the rank engine accepts (len < 250, see caller)
-                ranks = ranks.astype(np.uint32)
+            # positions ascend per doc, so only each row's LAST position
+            # needs the span check — O(df) instead of an O(Σtf) repeat
+            if len(pos):
+                last = pos[np.cumsum(oc) - 1] if (oc > 0).all() else None
+                if last is None:
+                    nz = oc > 0
+                    last = pos[np.cumsum(oc)[nz] - 1]
+                    span = span[nz]
+                if not bool((last < span).all()):
+                    return None
+            # run-expand each row's base offset WITHOUT np.repeat: scatter
+            # the per-row base deltas at run starts and cumsum (np.repeat
+            # measured 1.25 s per 30M-element head term; the delta cumsum is
+            # memory-bandwidth bound, ~10× faster). Computed directly in
+            # uint32 when the token space fits (+256 headroom keeps rank+i
+            # from wrapping for any phrase the rank engine accepts, len <
+            # 250, see caller) — bases ascend so deltas are non-negative and
+            # the cumsum never wraps; this also kills the 30M-element
+            # int64→uint32 astype the old form paid
+            dt = np.uint32 if total + 256 < 2**32 else np.int64
+            nzoc = oc if (oc > 0).all() else oc[oc > 0]
+            bases = offsets[sdocs].astype(dt) if len(nzoc) == len(oc) \
+                else offsets[sdocs[oc > 0]].astype(dt)
+            delta = np.zeros(len(pos), dtype=dt)
+            if len(pos):
+                starts = np.cumsum(nzoc) - nzoc
+                delta[starts] = np.diff(bases, prepend=bases.dtype.type(0))
+            posd = pos.view(dt) if pos.dtype.itemsize == np.dtype(dt).itemsize \
+                else pos.astype(dt)
+            ranks = np.cumsum(delta, dtype=dt) + posd
             entry = (ranks, sdocs, oc, dls, _pack_rank_bits(ranks, total))
-        loaded[t] = entry
+        return entry
+
+    # per-term builds are independent (shared inputs are read-only slices);
+    # the numpy/arrow kernels inside release the GIL, so overlapping the two
+    # head terms of a phrase roughly halves the serial cumsum+pack chain.
+    # Runs on its own pool — build() itself waits on _probe_pool tasks, and
+    # sharing one pool could deadlock (all workers occupied by waiters)
+    if len(need) > 1:
+        entries = list(_entry_pool().map(build, need))
+    else:
+        entries = [build(t) for t in need]
+    for t, e in zip(need, entries):
+        if e is None:  # position outside doclen span → caller falls back
+            return None
+        loaded[t] = e
         if cache is not None:
-            cache.put((t, field, form), entry)
+            cache.put((t, field, form), e)
     return loaded
+
+
+_ENTRY_POOL = None
+
+
+def _entry_pool():
+    global _ENTRY_POOL
+    if _ENTRY_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _ENTRY_POOL = ThreadPoolExecutor(4, thread_name_prefix="phrase-entry")
+    return _ENTRY_POOL
 
 
 def _pack_rank_bits(ranks, total: int):
@@ -410,17 +469,32 @@ def _pack_rank_bits(ranks, total: int):
     CHUNK_TOKENS = 64 * 1024 * 1024  # 64 MB bool transient, 8 MB packed
     packed = np.zeros(total // 8 + 2, dtype=np.uint8)
     if len(ranks):
-        bits = np.empty(CHUNK_TOKENS, dtype=bool)
-        for lo in range(0, total + 1, CHUNK_TOKENS):
-            hi = min(lo + CHUNK_TOKENS, total + 1)
-            a, b = np.searchsorted(ranks, (lo, hi))
+        bounds = np.arange(0, total + 1 + CHUNK_TOKENS, CHUNK_TOKENS,
+                           dtype=np.int64).clip(max=total + 1)
+        # ONE searchsorted for every window boundary, with the probe array
+        # cast to the ranks' own dtype — a per-window scalar probe of the
+        # wrong dtype silently promotes (COPIES) the whole rank array each
+        # call (measured 3 s of a 15 s cold fill at 1M docs)
+        cuts = np.searchsorted(ranks, bounds.astype(ranks.dtype))
+
+        def pack_window(w: int) -> None:
+            lo, hi = int(bounds[w]), int(bounds[w + 1])
+            a, b = int(cuts[w]), int(cuts[w + 1])
             if a == b:
-                continue
-            bits[: hi - lo] = False
-            bits[ranks[a:b] - lo] = True
+                return
+            bits = np.zeros(hi - lo, dtype=bool)
+            bits[ranks[a:b] - np.asarray(lo, dtype=ranks.dtype)] = True
             # lo is a multiple of 8·(chunk/8), so the packed slice aligns
             packed[lo // 8: lo // 8 + (hi - lo + 7) // 8] = np.packbits(
-                bits[: hi - lo], bitorder="little")
+                bits, bitorder="little")
+
+        # windows write DISJOINT packed slices with their own bool buffer —
+        # thread-parallel on the shared probe pool (scatter + packbits
+        # release the GIL; measured ~3× on a 4-window 1M-doc fill)
+        if len(bounds) > 2:
+            list(_probe_pool().map(pack_window, range(len(bounds) - 1)))
+        else:
+            pack_window(0)
     return packed
 
 
@@ -446,6 +520,46 @@ def _match_key(loaded: dict, terms: list[str]):
     # cur is a subset of the sorted first-term keys, so docs stay sorted
     uniq, tf = np.unique(cur >> 32, return_counts=True)
     return uniq, tf, first_docs, first_dls
+
+
+_PROBE_POOL = None
+
+
+def _probe_pool():
+    """Shared 4-thread pool for the bitmap probe: numpy's gather/ufunc
+    kernels release the GIL on large arrays, and the probe is memory-bound —
+    4 threads over 4M-element chunks measured 4.3× the monolithic
+    expression (0.66 s → 0.155 s on a 57M-candidate head-head probe at 1M
+    docs); 8 threads saturate bandwidth and regress."""
+    global _PROBE_POOL
+    if _PROBE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _PROBE_POOL = ThreadPoolExecutor(4, thread_name_prefix="phrase-probe")
+    return _PROBE_POOL
+
+
+def _probe_bits(cand_r, packed, shift: int, bit_lut):
+    """hit[j] = bit (cand_r[j]+shift) of the packed little-endian bitmap.
+    Chunked so the idx/gather temporaries stay cache-sized, thread-parallel
+    on disjoint output slices."""
+    import numpy as np
+
+    n = len(cand_r)
+    rdt = cand_r.dtype.type
+    out = np.empty(n, dtype=bool)
+    CH = 4 * 1024 * 1024
+
+    def work(lo: int) -> None:
+        hi = min(lo + CH, n)
+        idx = cand_r[lo:hi] + rdt(shift)
+        np.not_equal(packed[idx >> rdt(3)] & bit_lut[idx & rdt(7)], 0,
+                     out=out[lo:hi])
+
+    if n > CH:
+        list(_probe_pool().map(work, range(0, n, CH)))
+    else:
+        work(0)
+    return out
 
 
 def _match_rank(loaded: dict, terms: list[str], offsets):
@@ -483,18 +597,25 @@ def _match_rank(loaded: dict, terms: list[str], offsets):
                 cand_r, cand_doc = cand_r[keep], cand_doc[keep]
                 if not len(cand_r):
                     return empty, empty, sdocs, dls
-        idx = cand_r + rdt(i)
         # uint8 LUT keeps the whole probe in uint8 (and ranks in uint32 when
         # the token space allows) — no int64 promotion of 10^7-10^8-element
-        # temporaries (the measured hot spot)
-        hit = (packed[idx >> rdt(3)] & bit_lut[idx & rdt(7)]) != 0
+        # temporaries; chunked + thread-parallel (see _probe_bits)
+        hit = _probe_bits(cand_r, packed, i, bit_lut)
         cand_r = cand_r[hit]
         if cand_doc is not None:
             cand_doc = cand_doc[hit]
         if not len(cand_r):
             return empty, empty, sdocs, dls
     if cand_doc is None:
-        cand_doc = np.searchsorted(offsets, cand_r, side="right") - 1
+        # survivors stay rank-sorted, so per-doc tfs come from probing the
+        # ~n_docs DOC BOUNDARIES into the survivor array — n_docs·log(m)
+        # instead of the other orientation's m·log(n_docs) searchsorted plus
+        # a full np.unique sort over m survivors (m ≫ n_docs for head-head
+        # phrases; measured ~2 s → ~0.1 s at 1M docs)
+        cuts = np.searchsorted(cand_r, offsets.astype(cand_r.dtype))
+        counts = cuts[1:] - cuts[:-1]
+        uniq = np.flatnonzero(counts)
+        return uniq, counts[uniq], sdocs, dls.astype(np.int64)
     # candidates kept first-term rank order, so docs stay sorted
     uniq, tf = np.unique(cand_doc, return_counts=True)
     return uniq, tf, sdocs, dls.astype(np.int64)
