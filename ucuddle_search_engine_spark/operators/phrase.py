@@ -343,6 +343,7 @@ def _load_entries(root: str, terms: list[str], field: int, cache,
     from ..functions.hashing import term_buckets
 
     form = "k" if offsets is None else "r"
+    total = int(offsets[-1]) if offsets is not None else 0
     loaded: dict[str, tuple] = {}
     need = sorted(set(terms))
     if cache is not None:
@@ -352,78 +353,119 @@ def _load_entries(root: str, terms: list[str], field: int, cache,
                 loaded[t] = hit
         need = [t for t in need if t not in loaded]
     if need:
+        from ..functions import mem
+
+        # allocation faults, not compute, dominated the cold fill (measured
+        # 17 s of 31 s at 5M docs): fault the heap arena on 16 threads
+        # BEHIND the Arrow scan+sort below, so the numpy build lands on hot
+        # pages. Floor estimate now (token space is known); refined to the
+        # table's real size after the read, which only touches the delta.
+        import os as _os2
+        import time as _time2
+        _dbg2 = _os2.environ.get("PHRASE_DEBUG_TIMING")
+        _t = _time2.time()
+        mem.retain_arrow_memory()
+        arena = mem.prefault_async(max(total * 4, 512 << 20))
         d = pds.dataset(root, format="parquet", partitioning="hive")
         flt = pds.field("term").isin(need) & (pds.field("field") == field)
         if "tb" in d.schema.names:
             flt = flt & pds.field("tb").isin(term_buckets(need))
         tab = d.to_table(filter=flt,
                          columns=["term", "doc_id", "positions", "doclen"])
-        # ONE multithreaded Arrow sort puts every term's rows in doc order —
-        # the earlier numpy route (argsort the doc rows, build a gather
-        # permutation over the flattened positions, fancy-index) was
-        # single-threaded and paid 4-8 s per 5M-df head term in big
-        # temporaries; Arrow's C++ take on the list column replaces all of
-        # it (measured 1.6 s for two such terms, cold)
-        tab = tab.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-        # the table is term-sorted, so each term is ONE contiguous slice —
-        # a per-term filter() would rescan and re-materialize the whole
-        # table per term (~0.5 s per head term at 1M docs); value_counts is
-        # a single scan and slice() is zero-copy
-        vc = pc.value_counts(tab.column("term"))
-        cnt = {str(r["values"]): int(r["counts"]) for r in vc.to_pylist()}
-        slice_at = 0
-    total = int(offsets[-1]) if offsets is not None else 0
-    slices = {}
-    for t in need:
-        width = cnt.get(t, 0)
-        slices[t] = tab.slice(slice_at, width)  # zero-copy
-        slice_at += width
+        if _dbg2:
+            print(f"    scan {_time2.time()-_t:.2f}", flush=True)
+            _t = _time2.time()
+        # ~3 position-width copies live at the build's peak (delta, cumsum
+        # out, ranks sum) + per-term bitmap + the pack windows' bool
+        # buffers; async so the touch overlaps the sort below
+        arena2 = mem.prefault_async(3 * tab.column("positions").nbytes
+                                    + len(need) * (total // 8) + (300 << 20))
+        # NO global sort/take: a (term, doc_id) Table.sort_by gathers the
+        # whole 2 GB positions column through Arrow take (measured 8-10 s at
+        # 5M docs, the single largest cold stage). Instead each term argsorts
+        # its df-sized doc rows (5M int64 ≈ 0.4 s) and a fused chunk-parallel
+        # expand+gather below writes the doc-ordered RANK values directly —
+        # the positions column is only ever touched once, by the gather.
+        doc_np = tab.column("doc_id").to_numpy(zero_copy_only=False)
+        dl_np = tab.column("doclen").to_numpy(zero_copy_only=False)
+        posl = tab.column("positions").combine_chunks()
+        flat = posl.flatten().to_numpy(zero_copy_only=False)  # stored int32
+        lens_all = pc.list_value_length(posl).to_numpy(zero_copy_only=False)
+        loff = np.concatenate(([0], np.cumsum(lens_all, dtype=np.int64)))
+        tcol = tab.column("term")
+        if _dbg2:
+            print(f"    cols {_time2.time()-_t:.2f}", flush=True)
+            _t = _time2.time()
+        arena.join()
+        arena2.join()
+        if _dbg2:
+            print(f"    arena join {_time2.time()-_t:.2f}", flush=True)
+
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("PHRASE_DEBUG_TIMING")
 
     def build(t: str):
-        sub = slices[t]
-        sdocs = sub.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        posl = sub.column("positions").combine_chunks()
-        oc = pc.list_value_length(posl).to_numpy(zero_copy_only=False).astype(np.int64)
-        # rows are doc-sorted and stored positions ascend within each doc,
-        # so the flattened values are already in global (doc, pos) order.
-        # Kept in their stored (int32) width — the int64 ops below promote
-        # per-expression; an eager .astype would copy the whole Σtf array
-        pos = posl.flatten().to_numpy(zero_copy_only=False)
-        dls = sub.column("doclen").to_numpy(zero_copy_only=False).astype(np.int64)
+        _t0 = _time.time()
+        tmask = pc.equal(tcol, t).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        rows = np.flatnonzero(tmask)
+        docs = doc_np[rows]
+        o = np.argsort(docs, kind="stable")
+        rows = rows[o]
+        sdocs = docs[o].astype(np.int64)
+        dls = dl_np[rows].astype(np.int64)
+        oc = lens_all[rows].astype(np.int64)  # per-row tf, doc order
+        starts = loff[rows]  # row's slice start in the flat values
+        n = int(oc.sum())
         if form == "k":
-            entry = ((np.repeat(sdocs, oc) << 32) | pos, sdocs, dls)
+            dt, base = np.int64, sdocs << 32  # (doc<<32)|pos keys
         else:
             span = offsets[sdocs + 1] - offsets[sdocs] - 1  # -1: guard slot
             # positions ascend per doc, so only each row's LAST position
             # needs the span check — O(df) instead of an O(Σtf) repeat
-            if len(pos):
-                last = pos[np.cumsum(oc) - 1] if (oc > 0).all() else None
-                if last is None:
-                    nz = oc > 0
-                    last = pos[np.cumsum(oc)[nz] - 1]
-                    span = span[nz]
-                if not bool((last < span).all()):
+            if n:
+                nz = oc > 0
+                if not bool((flat[(starts + oc)[nz] - 1] < span[nz]).all()):
                     return None
-            # run-expand each row's base offset WITHOUT np.repeat: scatter
-            # the per-row base deltas at run starts and cumsum (np.repeat
-            # measured 1.25 s per 30M-element head term; the delta cumsum is
-            # memory-bandwidth bound, ~10× faster). Computed directly in
-            # uint32 when the token space fits (+256 headroom keeps rank+i
-            # from wrapping for any phrase the rank engine accepts, len <
-            # 250, see caller) — bases ascend so deltas are non-negative and
-            # the cumsum never wraps; this also kills the 30M-element
-            # int64→uint32 astype the old form paid
+            # uint32 ranks when the token space fits halve probe traffic;
+            # +256 headroom keeps rank+i from wrapping for any phrase the
+            # rank engine accepts (len < 250, see caller)
             dt = np.uint32 if total + 256 < 2**32 else np.int64
-            nzoc = oc if (oc > 0).all() else oc[oc > 0]
-            bases = offsets[sdocs].astype(dt) if len(nzoc) == len(oc) \
-                else offsets[sdocs[oc > 0]].astype(dt)
-            delta = np.zeros(len(pos), dtype=dt)
-            if len(pos):
-                starts = np.cumsum(nzoc) - nzoc
-                delta[starts] = np.diff(bases, prepend=bases.dtype.type(0))
-            posd = pos.view(dt) if pos.dtype.itemsize == np.dtype(dt).itemsize \
-                else pos.astype(dt)
-            ranks = np.cumsum(delta, dtype=dt) + posd
+            base = offsets[sdocs].astype(dt)
+        ranks = np.empty(n, dtype=dt)
+        out_starts = np.cumsum(oc) - oc
+        # fused expand+gather+base-add, ~2M values per chunk so the gather
+        # index and repeat temporaries stay cache-sized; chunks write
+        # disjoint output slices → thread-parallel (kernels release the GIL)
+        cuts = np.unique(np.searchsorted(
+            out_starts, np.arange(0, n + 2_000_000, 2_000_000)))
+
+        def fill(w: int) -> None:
+            c0, c1 = int(cuts[w]), int(cuts[w + 1])
+            ln = oc[c0:c1]
+            m = int(ln.sum())
+            if m == 0:
+                return
+            loc = np.cumsum(ln) - ln
+            idx = np.arange(m, dtype=np.int64)
+            idx -= np.repeat(loc, ln)
+            idx += np.repeat(starts[c0:c1], ln)
+            seg = flat[idx].astype(dt, copy=False)
+            seg += np.repeat(base[c0:c1], ln)
+            ranks[out_starts[c0]: out_starts[c0] + m] = seg
+
+        if _dbg:
+            print(f"    build[{t}] pre-fill {_time.time()-_t0:.2f}", flush=True)
+        if len(cuts) > 2:
+            list(_probe_pool().map(fill, range(len(cuts) - 1)))
+        elif len(cuts) == 2:
+            fill(0)
+        if _dbg:
+            print(f"    build[{t}] post-fill {_time.time()-_t0:.2f}", flush=True)
+        if form == "k":
+            entry = (ranks, sdocs, dls)
+        else:
             entry = (ranks, sdocs, oc, dls, _pack_rank_bits(ranks, total))
         return entry
 
