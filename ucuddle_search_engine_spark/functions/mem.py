@@ -49,9 +49,19 @@ def enable_heap_reuse() -> bool:
 
             libc = ctypes.CDLL("libc.so.6", use_errno=True)
             M_TRIM_THRESHOLD, M_MMAP_THRESHOLD, M_MMAP_MAX = -1, -3, -4
+            M_ARENA_MAX = -8
             ok = (libc.mallopt(M_MMAP_THRESHOLD, 2**31 - 1) == 1
                   and libc.mallopt(M_TRIM_THRESHOLD, 2**31 - 1) == 1
                   and libc.mallopt(M_MMAP_MAX, 0) == 1)
+            # single arena: per-THREAD arenas (the scoring pool's) shrink
+            # their heaps back to the OS on free regardless of the main
+            # arena's trim threshold, so a 24-thread scorer re-faulted
+            # ~2 GB/query (measured 400-550k minor faults, warm latency
+            # 10-22 s vs 2.6 s with one arena). Large-block mallocs under one
+            # arena serialize on its lock, but the serving tier's blocks are
+            # few and big — measured net win. Threads that already mapped an
+            # arena keep it; call this before the pools spawn.
+            libc.mallopt(M_ARENA_MAX, 1)
             _ENABLED = bool(ok)
             return _ENABLED
         except Exception:

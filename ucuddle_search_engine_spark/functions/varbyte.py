@@ -79,17 +79,47 @@ def vb_decode_concat(buffers) -> tuple[np.ndarray, np.ndarray]:
     if len(buffers) == 0:
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
     lens = np.fromiter((len(b) for b in buffers), dtype=np.int64, count=len(buffers))
-    buf = np.frombuffer(b"".join(bytes(b) for b in buffers), dtype=np.uint8)
+    try:
+        joined = b"".join(buffers)  # no per-block bytes() call (~0.3 s/1M blocks)
+    except TypeError:  # memoryview/bytearray blocks
+        joined = b"".join(bytes(b) for b in buffers)
+    buf = np.frombuffer(joined, dtype=np.uint8)
     if buf.size == 0:
         return np.zeros(0, dtype=np.uint64), np.zeros(len(buffers), dtype=np.int64)
+    if (buf & np.uint8(0x80)).all():
+        # every byte is a terminator → every value is a single byte (the
+        # NORMAL case for tf streams, where tf < 128 almost always): values
+        # are just the payload bits and per-stream counts are the byte
+        # lengths. Skips the ends/starts/lengths index arrays — 3×8 B/value
+        # (~1.5 GB on a 65M-value batched fill) of allocation and passes.
+        return (buf & np.uint8(0x7F)).astype(np.uint64), lens
     ends = np.flatnonzero(buf & 0x80)
     starts = np.concatenate(([0], ends[:-1] + 1))
-    out = np.zeros(ends.size, dtype=np.uint64)
+    out = np.empty(ends.size, dtype=np.uint64)  # every slot written below
     lengths = ends - starts + 1
-    for k in range(int(lengths.max())):
-        sel = lengths > k
-        b = buf[starts[sel] + k].astype(np.uint64) & np.uint64(0x7F)
-        out[sel] |= b << np.uint64(7 * k)
+    # Layout-aware decode, two measured wins on multi-million-value batches
+    # (the serving tier's batched wide-OR fill):
+    # - byte 0 exists for EVERY value, so it's one unmasked gather + a
+    #   widening copy, no boolean select at all; continuation bytes (k ≥ 1,
+    #   a minority for delta/tf/doclen streams) use COMPACT flatnonzero
+    #   indices instead of repeated boolean-mask gathers.
+    # - the k ≥ 1 passes run over L2-sized chunks so their temporaries stay
+    #   cache-resident (a full-batch pass spilled to DRAM: ~6× slower), and
+    #   each chunk bounds max length locally so a lone 5-byte value doesn't
+    #   add passes over the whole batch.
+    # Net: 0.089 s → 0.039 s per 2.7M 1-2-byte values. Identical arithmetic
+    # → identical outputs.
+    low = buf & np.uint8(0x7F)
+    np.copyto(out, low[starts], casting="unsafe")
+    CH = 1 << 18
+    for a in range(0, ends.size, CH):
+        b_hi = min(a + CH, ends.size)
+        st = starts[a:b_hi]
+        ln = lengths[a:b_hi]
+        o = out[a:b_hi]
+        for k in range(1, int(ln.max())):
+            idx = np.flatnonzero(ln > k)
+            o[idx] |= low[st[idx] + k].astype(np.uint64) << np.uint64(7 * k)
     # values per stream: count of terminator bytes inside each byte range
     byte_bounds = np.cumsum(lens)
     counts = np.diff(np.concatenate(([0], np.searchsorted(ends, byte_bounds - 1, side="right"))))

@@ -39,6 +39,20 @@ INF = np.iinfo(np.int64).max
 UB_EPS = 1e-9
 
 
+_GSM_POOL = None
+
+
+def _gsm_pool():
+    """2-thread helper pool for get_scored_many's independent stream decodes
+    (docs/tfs run here, dls on the caller thread)."""
+    global _GSM_POOL
+    if _GSM_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _GSM_POOL = ThreadPoolExecutor(2, thread_name_prefix="gsm-decode")
+    return _GSM_POOL
+
+
 def _default_decode_cache_postings() -> int:
     """Default DecodeCache bound, sized to the serving box like a page cache:
     ~5% of physical RAM at the ~24 B/cached-posting worst case, floored at
@@ -151,6 +165,68 @@ class DecodeCache:
         contrib = weight_idf * tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
         self._put(key, (docs, contrib, None))
         return docs, contrib
+
+    def get_scored_many(self, entries: list) -> list:
+        """Batched get_scored over MANY whole chains: entries are
+        (ckey, weight_idf, avgdl, doc_bytes, tf_bytes, dl_bytes); returns
+        [(docs, contribs)] aligned with them. Hits come straight from the
+        memo; ALL misses decode in ONE varbyte pass per stream (docs/tfs/dls)
+        and score in ONE vectorized expression with the per-chain weight and
+        avgdl expanded by np.repeat — the same scalar-broadcast IEEE ops as
+        get_scored, so scores are bit-identical. Motivation: a cold 58-term
+        fuzzy fill at 5M docs made 4,176 per-chain decode calls whose Python
+        overhead (bytes.join / fromiter / flag-bit nonzero per call) was
+        GIL-held — 14 s serial OR parallel; batching drops it to 3 calls per
+        scoring group. Per-chain cache entries are sliced out as copies so
+        eviction frees real memory (same contract as get_many)."""
+        out: list = [None] * len(entries)
+        miss: list[int] = []
+        for i, e in enumerate(entries):
+            key = (e[0], "__scored__", float(e[1]), float(e[2]))
+            v = self._touch(key)
+            if v is not None:
+                out[i] = (v[0], v[1])
+            else:
+                miss.append(i)
+        if not miss:
+            return out
+        doc_bufs: list = []
+        tf_bufs: list = []
+        dl_bufs: list = []
+        nblocks = np.empty(len(miss), dtype=np.int64)
+        for j, i in enumerate(miss):
+            _, _, _, db, tb, lb = entries[i]
+            doc_bufs.extend(db)
+            tf_bufs.extend(tb)
+            dl_bufs.extend(lb)
+            nblocks[j] = len(db)
+        # the three streams decode independently — overlap them on a small
+        # dedicated pool (the numpy kernels inside release the GIL; the
+        # byte-joins interleave). Dedicated so a scoring-pool caller can
+        # never deadlock against its own pool.
+        fd = _gsm_pool().submit(decode_doc_ids_concat, doc_bufs)
+        ft = _gsm_pool().submit(vb_decode_concat, tf_bufs)
+        dls_all = vb_decode_concat(dl_bufs)[0].astype(np.float64)
+        docs_all, cnt_blk = fd.result()
+        tfs_all = ft.result()[0].astype(np.float64)
+        # per-chain posting counts from per-BLOCK counts (zero-block chains
+        # included): chain j covers blocks [bo[j], bo[j+1])
+        bo = np.concatenate(([0], np.cumsum(nblocks)))
+        psum = np.concatenate(([0], np.cumsum(cnt_blk)))
+        chain_n = psum[bo[1:]] - psum[bo[:-1]]
+        w = np.repeat(np.array([float(entries[i][1]) for i in miss]), chain_n)
+        adl = np.repeat(np.array([float(entries[i][2]) for i in miss]), chain_n)
+        contrib_all = w * tfs_all / (tfs_all + K1 * (1 - B + B * dls_all / adl))
+        starts = np.concatenate(([0], np.cumsum(chain_n)))
+        for j, i in enumerate(miss):
+            a, b = int(starts[j]), int(starts[j + 1])
+            docs = docs_all[a:b].astype(np.int64)  # copy (and int64, as get_scored)
+            contrib = contrib_all[a:b].copy()
+            e = entries[i]
+            self._put((e[0], "__scored__", float(e[1]), float(e[2])),
+                      (docs, contrib, None))
+            out[i] = (docs, contrib)
+        return out
 
     def get_many(self, ckey: tuple, ordinals, doc_bytes, tf_bytes, dl_bytes):
         """(docs, tfs, dls) concatenated over `ordinals` (block ids within one
@@ -593,7 +669,17 @@ def _taat_or(lists: list["_BlockList"], k: int,
     block (full-chain scored memo when cached), one dense aggregate, top-k.
     No pruning — the right plan when pruning can't pay (head-dominated or
     very wide queries)."""
-    parts = [L.decode(np.arange(len(L.ubs))) for L in lists]
+    cache = lists[0]._cache if lists else None
+    if cache is not None and all(L._cache is cache for L in lists):
+        # serving tier: one BATCHED decode+score pass for every cold chain
+        # (see DecodeCache.get_scored_many) instead of a Python call chain
+        # per (chain, stream) — the wide-OR cold fill was GIL-bound on that
+        # overhead (14 s at 5M docs for a 58-term expansion, measured)
+        parts = cache.get_scored_many(
+            [(L._ckey, L.weight_idf, L.avgdl,
+              L.doc_bytes, L.tf_bytes, L.dl_bytes) for L in lists])
+    else:
+        parts = [L.decode(np.arange(len(L.ubs))) for L in lists]
     docs_all = np.concatenate([d for d, _ in parts])
     contribs = np.concatenate([c for _, c in parts])
     if dead is not None and len(dead) and len(docs_all):
@@ -879,20 +965,33 @@ def _score_shard_rows(pdf: pd.DataFrame, widf: dict, avgdl: dict, mode: str, k: 
 def _score_chains(groups: list, widf: dict, avgdl: dict, mode: str, k: int,
                   nterms: int, algorithm: str, dead, round_dp, wand_min: int,
                   cache: "DecodeCache | None" = None) -> list:
-    """Core scorer over prebuilt (term, (term, field), block-frame, cache-key)
-    chains — the serving tier feeds it straight from its per-term chain cache
-    (no per-query pandas groupby), the pdf form above derives chains on the
-    fly. Identical rankings either way."""
+    """Core scorer over prebuilt chains — each group entry is
+    (term, (term, field), block-frame, cache-key[, _BlockList]): the serving
+    tier feeds it straight from its per-term chain cache (no per-query pandas
+    groupby) and may attach a MEMOIZED _BlockList view (5th slot) so the
+    block-metadata extraction from the pandas frame — ~60 ms of GIL-held work
+    per 58-chain fuzzy group, serialized across the 24-shard scoring pool —
+    is paid once per chain instead of once per query. The pdf form above
+    derives 4-tuples on the fly. Identical rankings either way; the _PList
+    branches always rebuild from the frame (their per-block cache ordinals
+    must follow the frame's block_no sort, not a view's defensive re-sort)."""
     if not groups:
         return []
-    total = sum(int(g["n"].sum()) for _, _, g, _ in groups)
+    total = sum(int(e[4].ns.sum()) if len(e) > 4 else int(e[2]["n"].sum())
+                for e in groups)
+
+    def bl(e) -> _BlockList:
+        if len(e) > 4:
+            return e[4]
+        _, key, g, ck = e
+        return _BlockList(g, widf[key], avgdl[key], cache=cache, ckey=ck)
+
     if mode == "and":
         # block-interval pruning: skip decoding blocks that overlap no block
         # range of some other query term
         blists_by_term: dict[str, list[_BlockList]] = {}
-        for t, key, g, ck in groups:
-            L = _BlockList(g, widf[key], avgdl[key], cache=cache, ckey=ck)
-            blists_by_term.setdefault(t, []).append(L)
+        for e in groups:
+            blists_by_term.setdefault(e[0], []).append(bl(e))
         if len(blists_by_term) < nterms:
             return []
         return _intersect_and_blocks(blists_by_term, k, dead=dead, round_dp=round_dp)
@@ -901,21 +1000,17 @@ def _score_chains(groups: list, widf: dict, avgdl: dict, mode: str, k: int,
         # every chain fully decoded through the scored-chain memo, ONE dense
         # aggregate over the whole group — the caller groups by shard only,
         # so the bincount spans the shard's doc range once per query
-        blists = [_BlockList(g, widf[key], avgdl[key], cache=cache, ckey=ck)
-                  for _, key, g, ck in groups]
-        return _taat_or(blists, k, dead=dead, round_dp=round_dp)
+        return _taat_or([bl(e) for e in groups], k, dead=dead, round_dp=round_dp)
     if round_dp is None and (algorithm == "wand" or (algorithm == "auto" and total >= wand_min)):
         # vectorized block-max scorer: decodes only blocks whose interval
         # bound can beat θ (numpy-blocked, no per-posting loop)
-        blists = [_BlockList(g, widf[key], avgdl[key], cache=cache, ckey=ck)
-                  for _, key, g, ck in groups]
-        return _blockmax_or_numpy(blists, k, dead=dead)
+        return _blockmax_or_numpy([bl(e) for e in groups], k, dead=dead)
     if algorithm == "wand_loop":
         flat = [_PList(g, widf[key], avgdl[key], dead=dead, cache=cache, ckey=ck)
-                for _, key, g, ck in groups]
+                for _, key, g, ck, *_ in groups]
         return _wand_or(flat, k)
     flat = [_PList(g, widf[key], avgdl[key], dead=dead, cache=cache, ckey=ck)
-            for _, key, g, ck in groups]
+            for _, key, g, ck, *_ in groups]
     return _exact_or_numpy(flat, k, round_dp=round_dp)
 
 
@@ -936,6 +1031,15 @@ class SegmentSearcher:
         # physical store path (written stores) — enables the no-Spark-job
         # serving path (search_local)
         self.store_dir = store_dir
+        if store_dir is not None:
+            # serving-tier allocator posture (functions/mem): WITHOUT it this
+            # box re-faults every decode/concat buffer from fresh mmaps each
+            # query — measured 3.4 s vs 10-22 s warm on a 58-chain fuzzy OR
+            # at 5M docs, purely from anonymous-page faults
+            from ..functions import mem
+
+            mem.enable_heap_reuse()
+            mem.retain_arrow_memory()
         self._coll: dict | None = None
         self._tstats_cache: dict | None = None
         # per-term memo for the no-prepare() path: repeat queries never
@@ -1241,13 +1345,24 @@ class SegmentSearcher:
             widf[(t, f)] = self.boosts[f] * math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
             avgdl[(t, f)] = float(coll[f][1])
 
+        # fault the heap arena for the cold decode BEHIND the Arrow chain
+        # read (same overlap as the phrase fill): a cold wide-OR expansion
+        # decodes Σdf postings into ~64 B/posting of fresh numpy arrays, and
+        # this box serves anonymous faults at 5-7 s/GB single-threaded —
+        # the touch-ahead hides that behind I/O; hot-arena repeats are no-ops
+        from ..functions import mem
+
+        est = sum(stats.values())
+        arena = mem.prefault_async(min(int(est) * 96, 10 << 30)) if est > 1e6 else None
         chains_by_term = self._term_chains(terms, fields)
+        if arena is not None:
+            arena.join()
 
         dead = np.asarray(self.tombstones, dtype=np.int64) if self.tombstones else None
         nterms = len(terms)
         tops: list[tuple[int, float]] = []
         total_sel = sum(n for t in terms
-                        for (_sh, _u, f, _g, n) in chains_by_term.get(t, ())
+                        for (_sh, _u, f, _g, n, _s) in chains_by_term.get(t, ())
                         if (t, f) in widf)
         if total_sel:
             if self._decode_cache is None:
@@ -1286,13 +1401,44 @@ class SegmentSearcher:
                 and total_sel >= SegmentSearcher.PER_UNIT_MIN_POSTINGS
             groups: dict = {}
             for t in terms:
-                for sh, u, f, g, _n in chains_by_term.get(t, ()):
+                for sh, u, f, g, _n, slot in chains_by_term.get(t, ()):
                     key = (t, f)
                     if key not in widf:
                         continue
                     gk = (sh, u) if per_unit and u is not None else sh
                     ck = (sh, t, f) if u is None else (sh, t, f, u)
-                    groups.setdefault(gk, []).append((t, key, g, ck))
+                    # memoized chain view (same lifetime/eviction as the
+                    # chain-frame cache entry it rides in): the pandas
+                    # block-metadata extraction is static per chain — widf
+                    # and avgdl derive from stored df/cstats/boosts, all
+                    # fixed for a store view — so pay it once, not per
+                    # query. Benign race: two threads may both build; both
+                    # are correct, one ref wins.
+                    if slot:
+                        L = slot[0]
+                    else:
+                        L = _BlockList(g, widf[key], avgdl[key],
+                                       cache=cache, ckey=ck)
+                        slot.append(L)
+                    groups.setdefault(gk, []).append((t, key, g, ck, L))
+
+            # Wide-OR cold prefill: when every group will decode its chains
+            # EXHAUSTIVELY anyway (explicit taat, or a >WIDE_OR_LISTS
+            # disjunction that _blockmax_or_numpy reroutes to taat), fill the
+            # scored-chain memo for ALL groups in ONE batched decode+score
+            # pass up front. 24 pool threads each running their own decode
+            # convoy on the GIL and the allocator (measured 13.5 s cold for a
+            # 58-term fuzzy at 5M docs); one thread over the same bytes with
+            # the batched cache-blocked decoder takes ~4 s, after which the
+            # pool's group scoring is pure cache hits.
+            if cache is not None and mode != "and" and (
+                algorithm == "taat"
+                or any(len(v) > WIDE_OR_LISTS for v in groups.values())
+            ):
+                cache.get_scored_many(
+                    [(L._ckey, L.weight_idf, L.avgdl,
+                      L.doc_bytes, L.tf_bytes, L.dl_bytes)
+                     for v in groups.values() for _, _, _, _, L in v])
 
             def run_group(chains):
                 return _score_chains(chains, widf, avgdl, mode, offset + k,
@@ -1354,16 +1500,19 @@ class SegmentSearcher:
                 else:
                     t, sh, f = gkey
                     u = None
-                built[t].append((int(sh), u, int(f), g, int(g["n"].sum())))
+                # final [] slot: lazily memoized _BlockList view (see
+                # search_local) — rides the cache entry so view and frame
+                # evict together
+                built[t].append((int(sh), u, int(f), g, int(g["n"].sum()), []))
         with self._memo_lock:
             for t, chains in built.items():
                 if t not in self._seg_chains:
                     self._seg_chains[t] = chains
-                    self._seg_rows += sum(len(g) for _, _, _, g, _ in chains)
+                    self._seg_rows += sum(len(g) for _, _, _, g, _, _ in chains)
                 out[t] = self._seg_chains[t]
             while self._seg_rows > self.SEG_CACHE_ROWS and len(self._seg_chains) > 1:
                 _, old = self._seg_chains.popitem(last=False)
-                self._seg_rows -= sum(len(g) for _, _, _, g, _ in old)
+                self._seg_rows -= sum(len(g) for _, _, _, g, _, _ in old)
         return out
 
     def _scoring_pool(self):
