@@ -97,13 +97,14 @@ UK_GOLDEN_GROUPS = {
 
 
 def test_uk_golden_divergence_bound():
-    """Pins the uk adaptation's measured fidelity bound so regressions
-    surface: ≥18/21 paradigms coherent (85.7%), zero cross-lemma stem
-    collisions. The three known divergences are inherent to suffix-stripping
-    (no dictionary): к→ц dative alternation (перевірці), the -ува verb
-    suffix lost before vowel endings (будує→буд vs будувати→будува — the
-    published russian algorithm behaves identically on -ова/-ует), and the
-    -ати noun-plural vs infinitive ambiguity (результати)."""
+    """Pins the uk adaptation's measured fidelity: 21/21 paradigms coherent,
+    zero cross-lemma stem collisions. The r5 bound was 18/21; the three
+    divergences closed in r6 — the -ува verb suffix is now stripped whole
+    with its ending (rule-level: ували/увати/... verb entries, so будує and
+    будувала meet at буд), while the к→ц dative alternation (перевірці) and
+    the -ати noun-plural vs infinitive ambiguity (результати) are
+    dictionary-level and carried in _Cfg.exceptions (Snowball's own
+    exceptions mechanism), identical across all three execution forms."""
     from collections import Counter
 
     st = snowball_stem_py("uk")
@@ -118,8 +119,8 @@ def test_uk_golden_divergence_bound():
             coherent += 1
         else:
             incoherent[lemma] = dict(zip(forms, stems))
-    assert coherent >= 18, (coherent, incoherent)
-    assert set(incoherent) <= {"перевірка", "будувати", "результат"}, incoherent
+    assert coherent == 21, (coherent, incoherent)
+    assert not incoherent, incoherent
     vals = list(canon.values())
     assert len(vals) == len(set(vals)), "cross-lemma stem collision"
 

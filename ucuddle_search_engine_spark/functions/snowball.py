@@ -65,6 +65,14 @@ class _Cfg:
     i_ending: str  # step-2 single-char removal in RV
     undouble: str  # step-4 doubled consonants, one per char (нн → н; uk also тт → т)
     soft: str  # step-4 trailing soft sign
+    # full-surface-form → stem overrides, checked FIRST on the raw token.
+    # Snowball's own `exceptions` mechanism (english.sbl uses it for
+    # skies/dying/...): suffix rules cannot express dictionary-level
+    # alternations — uk к→ц dative (перевірці) and the -ати noun-plural vs
+    # infinitive ambiguity (результати) — without breaking other words
+    # (ці→кі would corrupt every ц-stem noun, dropping verb ати would split
+    # читати). Kept tiny and identical across all three execution forms.
+    exceptions: tuple[tuple[str, str], ...] = ()
 
 
 RU = _Cfg(
@@ -140,6 +148,14 @@ UK = _Cfg(
         ("вш", 2),
     ),
     verb=_bylen(
+        # -ува/-юва derived-verb suffix + ending, stripped WHOLE so the vowel
+        # endings (будує → буд) and the а-endings (будувала) reach the same
+        # stem — the paradigm split the r5 golden bound carried as inherent;
+        # words ending these 9+ chars of verb morphology are unambiguously
+        # -ува verbs, unlike the bare ати class below
+        ("увати", 5), ("ювати", 5), ("увала", 5), ("ювала", 5),
+        ("ували", 5), ("ювали", 5), ("увало", 5), ("ювало", 5),
+        ("ував", 4), ("ював", 4),
         # а/я-kept group
         ("ала", 2), ("яла", 2), ("али", 2), ("яли", 2), ("ало", 2), ("яло", 2),
         ("ати", 2), ("яти", 2), ("аєш", 2), ("яєш", 2), ("аємо", 3), ("яємо", 3),
@@ -172,6 +188,7 @@ UK = _Cfg(
     # tests/test_snowball.py::test_uk_golden_divergence_bound
     undouble="нт",
     soft="ь",
+    exceptions=(("перевірці", "перевірк"), ("результати", "результат")),
 )
 
 _CFGS: dict[str, _Cfg] = {"ru": RU, "uk": UK}
@@ -214,8 +231,12 @@ def _make_py(cfg: _Cfg):
         return w, False
 
     nn = tuple(c + c for c in cfg.undouble)
+    exc = dict(cfg.exceptions)
 
     def stem(word: str) -> str:
+        hit = exc.get(word)
+        if hit is not None:
+            return hit
         w = word
         for a, b in cfg.norm:
             w = w.replace(a, b)
@@ -345,7 +366,7 @@ def snowball_stem_col(lang: str, tok: Column) -> Column:
             _bind(_try_col(w, cfg.superlative, rv), after_sup)
         )
 
-    return _bind(prep, lambda w0: _bind(
+    out = _bind(prep, lambda w0: _bind(
         F.struct(
             w0.alias("w"),
             start_of(w0, rv_pat).alias("rv"),
@@ -357,6 +378,10 @@ def snowball_stem_col(lang: str, tok: Column) -> Column:
             )
         )),
     ))
+    # exceptions: raw-token overrides, same precedence as the Python form
+    for wrd, stm in reversed(cfg.exceptions):
+        out = F.when(tok == F.lit(wrd), F.lit(stm)).otherwise(out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -445,4 +470,8 @@ def snowball_stem_sql(lang: str, var: str = "t") -> str:
             )
         )),
     )
-    return _bind_sql(prep, "w0", inner)
+    out = _bind_sql(prep, "w0", inner)
+    # exceptions: raw-token overrides, same precedence as the Python form
+    for wrd, stm in reversed(cfg.exceptions):
+        out = f"CASE WHEN {var} = '{wrd}' THEN '{stm}' ELSE {out} END"
+    return out
