@@ -24,6 +24,7 @@ import argparse
 import json
 import os
 import sys
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import parse_qs, urlparse
@@ -92,6 +93,12 @@ class SearchApp:
         gen = self._generation()
         self._view = _StoreView(self.store_dir)
         self._gen = gen
+
+    def warm(self) -> "SearchApp":
+        """Join the store's startup arena pre-touch (see SegmentSearcher.warm)
+        so the first queries don't pay this box's ~5.4 s/GB fault cost."""
+        self._view.searcher.warm()
+        return self
 
     # -- back-compat accessors (tests + introspection) -----------------------
     @property
@@ -423,6 +430,13 @@ class RoutedSearchApp:
     def n_docs(self) -> int:
         return sum(a.n_docs() for a in self.apps.values())
 
+    def warm(self) -> "RoutedSearchApp":
+        # the arena high-water mark is process-global, so joining every
+        # store's pre-touch costs max(sizes), not the sum
+        for a in self.apps.values():
+            a.warm()
+        return self
+
 
 def make_handler(app: SearchApp):
     class Handler(BaseHTTPRequestHandler):
@@ -481,6 +495,13 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8080)
     args = ap.parse_args()
     app = RoutedSearchApp(args.index) if args.routed else SearchApp(args.index)
+    # block on the startup arena pre-touch before taking traffic: this box
+    # faults anonymous pages at ~5.4 s/GB (any parallelism) but reuses hot
+    # arena pages at ~0.16 s/GB, so the first queries shouldn't pay it
+    t0 = time.time()
+    app.warm()
+    if time.time() - t0 > 1:
+        print(f"arena warmup {time.time() - t0:.1f}s")
     srv = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(app))
     print(f"serving {args.index} on http://127.0.0.1:{args.port}  (/search?q=...&k=10&mode=or)")
     srv.serve_forever()

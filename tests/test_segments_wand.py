@@ -349,6 +349,50 @@ def test_scored_memo_no_full_chain_retention(segments):
     assert any(k[1] == "__full__" for k in cache._d)
 
 
+def test_get_scored_many_bit_identical(segments):
+    """The batched cold-fill scorer (DecodeCache.get_scored_many — one
+    varbyte pass per stream over EVERY miss, per-chain weights expanded by
+    np.repeat) must produce bit-identical (docs, contribs) to per-chain
+    get_scored, for all-miss, all-hit, and mixed hit/miss batches, and leave
+    the memo serving the same warm entries."""
+    import numpy as np
+
+    from ucuddle_search_engine_spark.operators.wand import DecodeCache, _BlockList
+
+    chains = []
+    for i, t in enumerate(["t0", "t1", "t2", "t50"]):
+        pdf = segments.filter(f"term = '{t}' and field = 0").toPandas()
+        if pdf.empty:
+            continue
+        pdf = pdf[pdf["shard"] == int(pdf["shard"].iloc[0])]
+        widf, avgdl = 1.5 + 0.3 * i, 280.0 + 7.0 * i
+        L = _BlockList(pdf, widf, avgdl, ckey=(0, t, 0))
+        chains.append(((0, t, 0), widf, avgdl,
+                       L.doc_bytes, L.tf_bytes, L.dl_bytes))
+    assert len(chains) >= 3, "fixture must yield several distinct chains"
+
+    ref_cache = DecodeCache()
+    want = [ref_cache.get_scored(*c) for c in chains]
+
+    # all-miss batch on a fresh cache
+    cold = DecodeCache()
+    got = cold.get_scored_many(list(chains))
+    for (wd, wc), (gd, gc) in zip(want, got):
+        assert np.array_equal(wd, gd) and np.array_equal(wc, gc)
+        assert gd.dtype == np.int64 and gc.dtype == np.float64
+    # warm: all-hit batch returns the memoized entries
+    again = cold.get_scored_many(list(chains))
+    for (wd, wc), (gd, gc) in zip(want, again):
+        assert np.array_equal(wd, gd) and np.array_equal(wc, gc)
+    # mixed: prefill one chain per-chain, batch the rest
+    mixed = DecodeCache()
+    mixed.get_scored(*chains[1])
+    got_mix = mixed.get_scored_many(list(chains))
+    for (wd, wc), (gd, gc) in zip(want, got_mix):
+        assert np.array_equal(wd, gd) and np.array_equal(wc, gc)
+    assert cold._n <= cold.max_postings
+
+
 def test_decode_cache_default_cap_ram_derived(monkeypatch):
     """The default DecodeCache bound scales with the box's physical RAM
     (page-cache sizing) between a 16M floor and a 512M ceiling, and the env

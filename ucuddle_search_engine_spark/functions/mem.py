@@ -17,11 +17,14 @@ Two fixes, both glibc/Linux-only and silently skipped elsewhere:
   The trade-off — freed memory is retained by the process — is the standard
   serving-tier allocator posture (jemalloc/mimalloc behave the same way by
   default), bounded by peak working set, fine on a dedicated search box.
-- ``prefault(nbytes)``: touch-ahead of the heap arena on 16 threads so even
-  the FIRST query pays ~1.5 s/GB instead of 5-7. Callers overlap it with
-  I/O (the cold phrase fill runs it behind the Arrow sidecar scan, hiding
-  the entire cost). A module-level high-water mark makes repeat calls
-  no-ops once the arena is hot.
+- ``prefault(nbytes)``: touch-ahead of the heap arena. Measured on this
+  box, fault cost is ~5.4 s/GB at ANY parallelism (1 thread, 16-thread
+  memset, 32-thread MADV_POPULATE_WRITE all land 5.4-6.3 s/GB — the
+  kernel/hypervisor serializes zero-page allocation), while REUSING
+  already-faulted arena pages costs ~0.16 s/GB. So the only lever is WHEN
+  the faults happen: ``startup_warm()`` pays them once at store-open (the
+  JVM ``-XX:+AlwaysPreTouch`` posture), and every query after that reuses
+  hot pages. A module-level high-water mark makes repeat calls no-ops.
 
 Arrow's pool is jemalloc (its scans/sorts fault multi-threaded already);
 ``retain_arrow_memory()`` disables its dirty-page decay so warm queries
@@ -80,35 +83,64 @@ def retain_arrow_memory() -> None:
         pass
 
 
+def _arena_free_bytes() -> int | None:
+    """Free (hot, reusable) bytes in the glibc arena via mallinfo2 — the
+    quantity that actually bounds how much of a query's allocations reuse
+    pages instead of faulting. None on non-glibc / pre-2.33."""
+    try:
+        import ctypes
+
+        class _MI2(ctypes.Structure):
+            _fields_ = [(n, ctypes.c_size_t) for n in (
+                "arena", "ordblks", "smblks", "hblks", "hblkhd",
+                "usmblks", "fsmblks", "uordblks", "fordblks", "keepcost")]
+
+        libc = ctypes.CDLL("libc.so.6")
+        if not hasattr(libc, "mallinfo2"):
+            return None
+        libc.mallinfo2.restype = _MI2
+        return int(libc.mallinfo2().fordblks)
+    except Exception:
+        return None
+
+
 def prefault(nbytes: int, threads: int = 16) -> int:
-    """Fault `nbytes` of heap into residency on `threads` threads and free
-    it back to the (retained, see enable_heap_reuse) arena. Tracks a
-    high-water mark: only the delta beyond already-hot bytes is touched.
-    Returns the bytes actually touched. Safe to call from a background
-    thread (numpy page writes release the GIL via the buffer protocol)."""
+    """Ensure ~`nbytes` of FREE, already-faulted heap arena, touching only
+    the shortfall. Free-arena accounting (mallinfo2), not a touched-ever
+    high-water mark: pages touched earlier but since occupied by LIVE cache
+    data (phrase keys, decode cache) no longer help a new query's
+    temporaries — measured: a second distinct fuzzy query after a phrase
+    fill grew RSS re-faulted from scratch (26 s) under high-water
+    accounting. Returns the bytes actually touched. Safe to call from a
+    background thread (the touch loop is inside the lock, so concurrent
+    callers serialize instead of double-faulting)."""
     global _HOT_BYTES
     if not enable_heap_reuse():
         return 0
     with _LOCK:
-        delta = int(nbytes) - _HOT_BYTES
+        free = _arena_free_bytes()
+        if free is not None:
+            delta = int(nbytes) - free
+        else:
+            delta = int(nbytes) - _HOT_BYTES
         if delta <= 64 * 1024 * 1024:  # not worth a touch pass
             return 0
-        _HOT_BYTES = int(nbytes)
-    import numpy as np
+        _HOT_BYTES = max(_HOT_BYTES, int(nbytes))
+        import numpy as np
 
-    arena = np.empty(delta, dtype=np.uint8)
-    page = 4096
-    ch = max(1, len(arena) // max(1, threads))
+        arena = np.empty(delta, dtype=np.uint8)
+        page = 4096
+        ch = max(1, len(arena) // max(1, threads))
 
-    def touch(i: int) -> None:
-        arena[i * ch: (i + 1) * ch + (len(arena) if i == threads - 1 else 0):
-              page] = 0
+        def touch(i: int) -> None:
+            arena[i * ch: (i + 1) * ch + (len(arena) if i == threads - 1 else 0):
+                  page] = 0
 
-    from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(threads) as ex:
-        list(ex.map(touch, range(threads)))
-    del arena  # stays in the heap arena, pages remain resident
+        with ThreadPoolExecutor(threads) as ex:
+            list(ex.map(touch, range(threads)))
+        del arena  # stays in the heap arena, pages remain resident
     return delta
 
 
@@ -117,3 +149,73 @@ def prefault_async(nbytes: int, threads: int = 16) -> threading.Thread:
     t = threading.Thread(target=prefault, args=(nbytes, threads), daemon=True)
     t.start()
     return t
+
+
+def startup_warm_bytes(store_dir) -> int:
+    """How much arena to pre-touch when a serving view opens: the query-path
+    working set is bounded by the decode cache (~5% RAM at 24 B/posting, see
+    wand._default_decode_cache_postings) plus transient decode buffers of
+    comparable size — but never more than the store itself could decode
+    into. min(store_bytes/2, 1.5 × decode-cache bytes, 16 GB); tiny test
+    stores land under prefault's 64 MB floor and cost nothing.
+    Env override: UCUDDLE_STARTUP_WARM_BYTES (0 disables)."""
+    import os
+
+    env = os.environ.get("UCUDDLE_STARTUP_WARM_BYTES")
+    if env is not None:
+        return int(env)
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(str(store_dir)):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    except OSError:
+        return 0
+    from ..operators.wand import _default_decode_cache_postings
+
+    cache_bytes = _default_decode_cache_postings() * 24
+    return int(min(total // 2, cache_bytes * 3 // 2, 16 << 30))
+
+
+def startup_warm(store_dir) -> threading.Thread:
+    """Pre-touch the serving arena for a store view, asynchronously — the
+    once-per-process answer to this box's ~5.4 s/GB anonymous-fault cost
+    (ES index warmers / JVM AlwaysPreTouch do the same). Returns the thread;
+    join() it (e.g. before binding the serving port) to start fully warm.
+    Also records the target for idle-time top-ups (topup_async)."""
+    n = startup_warm_bytes(store_dir)
+    set_topup_target(n)
+    return prefault_async(n)
+
+
+_TOPUP_TARGET = 0
+_TOPUP_THREAD: threading.Thread | None = None
+
+
+def set_topup_target(nbytes: int) -> None:
+    global _TOPUP_TARGET
+    _TOPUP_TARGET = max(_TOPUP_TARGET, int(nbytes))
+
+
+def topup_async() -> None:
+    """Debounced idle-time arena re-warm: as live cache data (decode cache,
+    phrase keys) grows, it OCCUPIES previously-free hot pages, so the next
+    distinct query's temporaries would fault fresh ones at ~5.4 s/GB —
+    measured 26-28 s on a fuzzy query issued right after a 5M-doc phrase
+    fill. Serving boxes idle between queries; calling this at the END of a
+    query restores the free-arena target in the background, off every
+    query's critical path. No-ops (one mallinfo2 read) once the bounded
+    caches stop growing."""
+    global _TOPUP_THREAD
+    if _TOPUP_TARGET <= 0 or not _ENABLED:
+        return
+    t = _TOPUP_THREAD
+    if t is not None and t.is_alive():
+        return
+    free = _arena_free_bytes()
+    if free is not None and _TOPUP_TARGET - free <= 64 * 1024 * 1024:
+        return
+    _TOPUP_THREAD = prefault_async(_TOPUP_TARGET)

@@ -282,6 +282,11 @@ def phrase_search_local(store_dir: str, terms: list[str], k: int = 10,
     tf = tf.astype(np.float64)
     score = idf * (tf / (tf + K1 * (1.0 - B + B * dl / float(avgdl))))
     order = np.lexsort((uniq, -score))[:k]
+    from ..functions import mem
+
+    # idle-time arena re-warm: a cold fill grows the live key cache, eating
+    # free hot pages — restore the target in the background (functions/mem)
+    mem.topup_async()
     return [(int(uniq[i]), float(score[i])) for i in order]
 
 

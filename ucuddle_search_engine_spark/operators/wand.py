@@ -1031,6 +1031,7 @@ class SegmentSearcher:
         # physical store path (written stores) — enables the no-Spark-job
         # serving path (search_local)
         self.store_dir = store_dir
+        self._warm_thread = None
         if store_dir is not None:
             # serving-tier allocator posture (functions/mem): WITHOUT it this
             # box re-faults every decode/concat buffer from fresh mmaps each
@@ -1040,6 +1041,13 @@ class SegmentSearcher:
 
             mem.enable_heap_reuse()
             mem.retain_arrow_memory()
+            # startup pre-touch (async): faults cost ~5.4 s/GB on this box at
+            # ANY parallelism but reused arena pages cost ~0.16 s/GB, so pay
+            # them once at open — off the query path — like the JVM's
+            # AlwaysPreTouch. A truly-cold first query at 5M docs was 57 s of
+            # which ~26 s was arena faulting mid-query; warm() (join) before
+            # serving removes it. Tiny test stores no-op (64 MB floor).
+            self._warm_thread = mem.startup_warm(store_dir)
         self._coll: dict | None = None
         self._tstats_cache: dict | None = None
         # per-term memo for the no-prepare() path: repeat queries never
@@ -1290,7 +1298,26 @@ class SegmentSearcher:
 
         obj._seg_chains = collections.OrderedDict()
         obj._seg_rows = 0
+        # same startup pre-touch as the Spark-backed constructor (this path
+        # skips __init__): pay the ~5.4 s/GB fault cost at open, off the
+        # query path. Async — join via warm() before taking traffic.
+        from ..functions import mem
+
+        mem.enable_heap_reuse()
+        mem.retain_arrow_memory()
+        obj._warm_thread = mem.startup_warm(store_dir)
         return obj
+
+    def warm(self) -> "SegmentSearcher":
+        """Block until the startup arena pre-touch finishes (serving
+        processes call this before binding the port; benches call it so
+        per-query numbers reflect a warmed server, with the warm cost
+        reported separately)."""
+        t = getattr(self, "_warm_thread", None)
+        if t is not None:
+            t.join()
+            self._warm_thread = None
+        return self
 
     def _dataset(self, rel: str):
         """Memoized pyarrow dataset handle for <store>/<rel> — discovery
@@ -1452,6 +1479,10 @@ class SegmentSearcher:
             elif groups:
                 tops.extend(run_group(next(iter(groups.values()))))
         tops.sort(key=lambda x: (-x[1], x[0]))
+        # idle-time arena re-warm: cache growth during THIS query consumed
+        # free hot pages; restore the free-arena target in the background so
+        # the next distinct query doesn't fault at ~5.4 s/GB (functions/mem)
+        mem.topup_async()
         return tops[offset:offset + k]
 
     # per-term segment-metadata chain cache budget (block rows). Entries hold
