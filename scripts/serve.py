@@ -53,7 +53,8 @@ class _StoreView:
     late writes land in the orphaned old view and are garbage-collected."""
 
     __slots__ = ("searcher", "analyzer", "result_cache", "vocab_full",
-                 "vocab_buckets", "tstats_rows", "phrase_cache")
+                 "vocab_buckets", "arrow_buckets", "tstats_rows",
+                 "phrase_cache")
 
     def __init__(self, store_dir: str):
         self.searcher = SegmentSearcher.open_local(store_dir)
@@ -66,6 +67,12 @@ class _StoreView:
         # tstats read each) for prefix>=1
         self.vocab_full: dict[str, float] | None = None
         self.vocab_buckets: dict[str, dict[str, float]] = {}
+        # columnar fuzzy-prefilter bundles (stores whose tstats carries
+        # tlen/bagsig): first-char (or "" = whole dictionary) →
+        # (term arrow array, df f64, tlen i64, bag nibbles (n,16) u8).
+        # Terms stay Arrow until the handful of prefilter survivors — no
+        # Python pass over the bucket's vocabulary, cold or warm.
+        self.arrow_buckets: dict[str, tuple] = {}
         # memoized tstats row count (parquet-metadata-only), for the
         # full-vocab guard below
         self.tstats_rows: int | None = None
@@ -212,6 +219,86 @@ class SearchApp:
                 out.update(view.vocab_buckets.get(c, {}))
             return out
 
+    def _arrow_bucket(self, view: _StoreView, first: str):
+        """Columnar fuzzy-prefilter bundle for one first-char bucket ("" =
+        the whole dictionary, prefix_length=0): max-df-per-term grouped in
+        Arrow C++, bag signatures unpacked to a (n, 16) nibble matrix in
+        numpy. No Python-object materialization of the vocabulary — the
+        5M-doc cold path this replaces spent its time in to_pylist + dict
+        building + per-char ord() loops."""
+        got = view.arrow_buckets.get(first)
+        if got is not None:
+            return got
+        import numpy as np
+        import pyarrow.dataset as pds
+
+        from ucuddle_search_engine_spark.operators.fuzzy import sig_nibbles
+
+        ds = view.searcher._dataset("tstats")
+        flt = (pds.field("p1") == first) if first else None
+        tt = ds.to_table(filter=flt, columns=["term", "df", "tlen", "bagsig"])
+        gp = tt.group_by("term").aggregate(
+            [("df", "max"), ("tlen", "max"), ("bagsig", "max")])
+        built = (
+            gp["term"].combine_chunks(),
+            gp["df_max"].to_numpy().astype(np.float64),
+            gp["tlen_max"].to_numpy().astype(np.int64),
+            sig_nibbles(gp["bagsig_max"].to_numpy()),
+        )
+        with self._lock:
+            # racing builders: first publisher wins, the loser's copy drops
+            return view.arrow_buckets.setdefault(first, built)
+
+    def _expand_columnar(self, view: _StoreView, qterms: list[str],
+                         prefix_length: int,
+                         max_expansions: int | None = None) -> list[str]:
+        """Fuzzy expansion over the persisted tlen/bagsig columns — same
+        semantics as operators.fuzzy.expand_terms_py (AUTO distances, prefix
+        band, df-desc/term-asc cap), but the |len−len(q)| ≤ d and
+        bag-distance ≤ 2d prefilters run as vectorized numpy over the scan
+        output; only the survivors (a guaranteed superset of the true ≤d
+        set) ever become Python strings for the exact capped levenshtein."""
+        import numpy as np
+        import pyarrow as pa
+
+        from ucuddle_search_engine_spark.operators.fuzzy import (
+            BAG_BINS,
+            MAX_EXPANSIONS,
+            _lev_capped,
+            auto_distance,
+        )
+
+        if max_expansions is None:
+            max_expansions = MAX_EXPANSIONS
+        out: set[str] = set()
+        for qt in sorted(set(qterms)):
+            if not qt:
+                continue
+            d = auto_distance(qt)
+            term_arr, df, tlen, nib = self._arrow_bucket(
+                view, qt[:1] if prefix_length >= 1 else "")
+            qn = np.zeros(BAG_BINS, np.int16)
+            for c in qt:
+                qn[ord(c) % BAG_BINS] += 1
+            np.minimum(qn, 15, out=qn)  # match the persisted nibble clamp
+            mask = np.abs(tlen - len(qt)) <= d
+            mask &= np.abs(nib.astype(np.int16) - qn).sum(axis=1) <= 2 * d
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                continue
+            pre = qt[:prefix_length]
+            cand = []
+            for j, t in zip(idx, term_arr.take(pa.array(idx)).to_pylist()):
+                if prefix_length >= 1 and t[:prefix_length] != pre:
+                    continue
+                if _lev_capped(t, qt, d) <= d:
+                    cand.append((t, float(df[j])))
+            if max_expansions is not None:
+                cand.sort(key=lambda x: (-x[1], x[0]))
+                cand = cand[:max_expansions]
+            out.update(t for t, _ in cand)
+        return sorted(out)
+
     # above this many dictionary terms, fuzzy prefix_length=0 is forced to 1
     # on p1-partitioned stores (see _search_uncached) — 2M terms ≈ tens of MB
     # of dict, the comfortable single-process ceiling
@@ -305,9 +392,15 @@ class SearchApp:
                 # must then share the first character), which turns the read
                 # into |q| pruned first-char buckets.
                 prefix_length = 1
-            firsts = sorted({t[:1] for t in terms if t}) if prefix_length >= 1 else None
-            vocab = self._vocab(view, firsts)
-            terms = expand_terms_py(vocab, terms, prefix_length=prefix_length)
+            if "bagsig" in view.searcher._dataset("tstats").schema.names:
+                # stores with the persisted tlen/bagsig prefilter columns:
+                # columnar expansion, no Python pass over the vocabulary
+                terms = self._expand_columnar(view, terms, prefix_length)
+            else:
+                firsts = (sorted({t[:1] for t in terms if t})
+                          if prefix_length >= 1 else None)
+                vocab = self._vocab(view, firsts)
+                terms = expand_terms_py(vocab, terms, prefix_length=prefix_length)
             if not terms:
                 return []
             mode = "or"

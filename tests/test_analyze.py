@@ -257,6 +257,34 @@ def test_fuzzy_expansion_and_search(spark):
     assert disk == mem
 
 
+def test_bag_signature_col_matches_python(spark):
+    """Build-side packed bag signature (pure Column expr, written into
+    tstats) must equal the serve-side Python mirror on every term — the
+    columnar fuzzy prefilter compares one against the other, so any skew
+    (e.g. ascii() vs ord() on Cyrillic, the F.filter two-arg lambda trap)
+    would silently drop candidates."""
+    from pyspark.sql import functions as F
+
+    from ucuddle_search_engine_spark.operators import fuzzy as fz
+
+    terms = ["window", "strem", "t00", "a", "модуль", "пошуку", "системи",
+             "aаbб", "zz", "x" * 20, "абвгдежзабвгдежзабв"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string") \
+        .withColumn("sig", fz.bag_signature_col(F.col("term")))
+    got = {r["term"]: r["sig"] for r in df.collect()}
+    assert got == {t: fz.bag_signature_py(t) for t in terms}
+    # nibble unpack round-trips the packed layout
+    import numpy as np
+
+    sigs = np.array([fz.bag_signature_py(t) for t in terms], np.int64)
+    nib = fz.sig_nibbles(sigs)
+    for i, t in enumerate(terms):
+        cnt = [0] * fz.BAG_BINS
+        for c in t:
+            cnt[ord(c) % fz.BAG_BINS] += 1
+        assert list(nib[i]) == [min(v, 15) for v in cnt], t
+
+
 def test_fuzzy_bag_prefilter_equivalence():
     """expand_terms_py's vectorized bag-distance prefilter (vocab ≥
     _BAG_FILTER_MIN) must produce EXACTLY the brute-force DP expansion set —

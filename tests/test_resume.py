@@ -504,6 +504,74 @@ def test_serve_fuzzy_matches_spark_fuzzy(spark, corpus, tmp_path_factory):
     assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
 
 
+def test_serve_columnar_fuzzy_expansion_equivalence(spark, corpus, tmp_path_factory):
+    """Stores persisting tlen/bagsig (write_tstats): the serving tier's
+    columnar expansion (_expand_columnar — numpy prefilters over scan output,
+    no Python pass over the vocabulary) must produce EXACTLY expand_terms_py's
+    set at every prefix_length, and a pre-bagsig legacy store must upgrade in
+    place via upgrade_tstats and then take the columnar path."""
+    import sys as _sys
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    _sys.path.insert(0, scripts)
+    try:
+        from serve import SearchApp
+    finally:
+        _sys.path.remove(scripts)
+    from ucuddle_search_engine_spark.operators.fuzzy import expand_terms_py
+    from ucuddle_search_engine_spark.plans.build_index import upgrade_tstats
+
+    out = str(tmp_path_factory.mktemp("idx_colfz"))
+    build_index_resumable(spark, corpus, out, n_units=2)
+
+    app = SearchApp(out)
+    view = app._view
+    assert "bagsig" in view.searcher._dataset("tstats").schema.names
+
+    # reference dictionary: max df per term across fields (what _vocab serves)
+    tt = view.searcher._dataset("tstats").to_table(columns=["term", "df"])
+    vocab: dict[str, float] = {}
+    for t, d in zip(tt["term"].to_pylist(), tt["df"].to_pylist()):
+        if d > vocab.get(t, -1):
+            vocab[t] = d
+
+    queries = [["modul", "t00"], ["t1"], ["zzznope"], ["a"]]
+    for pl in (0, 1, 2):
+        for qts in queries:
+            got = app._expand_columnar(view, qts, pl)
+            want = expand_terms_py(vocab, qts, prefix_length=pl)
+            assert got == want, (pl, qts)
+
+    # legacy store: rewrite tstats without the prefilter columns, then upgrade
+    legacy = str(tmp_path_factory.mktemp("idx_colfz_legacy"))
+    import shutil
+
+    shutil.copytree(out, legacy, dirs_exist_ok=True)
+    tpath = os.path.join(legacy, "tstats")
+    # keep the tb hash layout (term lookup prunes on it) but drop the
+    # p1/tlen/bagsig prefilter columns — the pre-bagsig on-disk format
+    stripped = spark.read.parquet(tpath).select("term", "field", "df", "tb").toPandas()
+    shutil.rmtree(tpath)
+    spark.createDataFrame(stripped) \
+        .repartition("tb").sortWithinPartitions("term", "field") \
+        .write.partitionBy("tb").parquet(tpath)
+    app2 = SearchApp(legacy)
+    assert "bagsig" not in app2._view.searcher._dataset("tstats").schema.names
+    # pre-upgrade: serve falls back to the dict path and still answers
+    h_legacy = app2.search("modul t00", k=5, mode="or", fuzzy=True)
+    assert upgrade_tstats(spark, legacy) is True
+    assert upgrade_tstats(spark, legacy) is False  # idempotent
+    app3 = SearchApp(legacy)
+    view3 = app3._view
+    assert "bagsig" in view3.searcher._dataset("tstats").schema.names
+    for pl in (0, 1):
+        assert app3._expand_columnar(view3, ["modul", "t00"], pl) == \
+            expand_terms_py(vocab, ["modul", "t00"], prefix_length=pl)
+    h_up = app3.search("modul t00", k=5, mode="or", fuzzy=True)
+    assert [(h["doc_id"], h["score"]) for h in h_up] == \
+        [(h["doc_id"], h["score"]) for h in h_legacy] and h_up
+
+
 def test_open_local_lazy_and_memo_lru(spark, corpus, tmp_path_factory):
     """A store written in the tb-partitioned tstats layout opens WITHOUT
     materializing the dictionary (serving RAM is O(memo cap), not
@@ -606,8 +674,10 @@ def test_serve_fuzzy_prefix_band_parity(spark, corpus, tmp_path_factory):
     want = [(r["doc_id"], round(r["score"], 6)) for r in
             fuzzy_search(s, qterms, k=5, prefix_length=1).collect()]
     assert [(h["doc_id"], h["score"]) for h in hits] == want and hits
-    # only the 'm' and 't' buckets were materialized
-    assert set(app._vocab_buckets) == {"m", "t"}
+    # bagsig stores take the columnar path: only the 'm' and 't' Arrow
+    # bundles were materialized; no Python dict of the vocabulary at all
+    assert set(app._view.arrow_buckets) == {"m", "t"}
+    assert not app._vocab_buckets
     assert app._vocab_full is None
 
 

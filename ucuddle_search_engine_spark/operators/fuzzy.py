@@ -26,6 +26,63 @@ from pyspark.sql import functions as F
 
 MAX_EXPANSIONS = 50  # ES default
 
+# --- persisted character-bag signature ---------------------------------
+# Terms carry a 64-bit bag signature in the written tstats dictionary:
+# code points binned into 16 buckets (ord(c) % 16), each count clamped to
+# 15 and packed into one nibble. Binning and clamping are both contractive
+# (collisions cancel; clamp is 1-Lipschitz), so the nibble-wise L1 distance
+# between two signatures is a LOWER bound on the true character-bag
+# distance, which is itself ≤ 2·levenshtein — `sigdist ≤ 2d` is therefore a
+# strict superset of the true ≤d set and never drops a real candidate.
+# Persisting it (plus `tlen`) turns the fuzzy prefilter into columnar
+# numpy over scan output instead of a Python pass over the vocabulary.
+BAG_BINS = 16
+
+
+def bag_signature_py(term: str) -> int:
+    """Packed 16-nibble character-bag signature — Python mirror of
+    bag_signature_col (build side), used on query terms at serve time."""
+    cnt = [0] * BAG_BINS
+    for c in term:
+        cnt[ord(c) % BAG_BINS] += 1
+    sig = 0
+    for i, v in enumerate(cnt):
+        sig |= min(v, 15) << (4 * i)
+    return sig
+
+
+def bag_signature_col(term) -> "F.Column":
+    """Build-side packed bag signature, pure Column expressions (16 short
+    array passes per term, JVM-side, build-time only). `ascii()` returns the
+    full code point of the first character, so binning matches ord(c) % 16
+    on the Python side for Cyrillic as well as ASCII."""
+    chars = F.filter(F.split(term, ""), lambda c: c != F.lit(""))
+    bins = F.transform(chars, lambda c: F.pmod(F.ascii(c), F.lit(BAG_BINS)))
+
+    def _bin_eq(i: int):
+        # single-parameter closure on purpose: a `lambda b, i=i:` default
+        # would make Spark treat it as the TWO-argument (element, index)
+        # form of filter() and silently bind the array index over i
+        return lambda b: b == F.lit(i)
+
+    sig = F.lit(0).cast("long")
+    for i in range(BAG_BINS):
+        cnt = F.size(F.filter(bins, _bin_eq(i)))
+        sig = sig + F.shiftleft(F.least(cnt, F.lit(15)).cast("long"), 4 * i)
+    return sig
+
+
+def sig_nibbles(sigs: "np.ndarray") -> "np.ndarray":
+    """(n,) int64/uint64 packed signatures → (n, 16) uint8 nibble counts.
+    Pure views + strided stores — no per-row Python."""
+    import numpy as np
+
+    u8 = np.ascontiguousarray(sigs, dtype=np.int64).view(np.uint8).reshape(-1, 8)
+    nib = np.empty((len(u8), BAG_BINS), np.uint8)
+    nib[:, 0::2] = u8 & 0xF
+    nib[:, 1::2] = u8 >> 4
+    return nib
+
 
 def auto_distance(term: str) -> int:
     """ES fuzziness=AUTO: 0 edits under 3 chars, 1 up to 5, else 2."""
@@ -89,6 +146,19 @@ def prefix_banded_dictionary(tstats: DataFrame, query_terms: list[str],
     if prefix_length >= 1 and "p1" in tstats.columns:
         first = sorted({t[:1] for t in set(query_terms) if t})
         tstats = tstats.filter(F.col("p1").isin(first))
+    if "tlen" in tstats.columns:
+        # pushed length band: the union over query terms of
+        # |tlen − len(q)| ≤ AUTO(q) — a plain range disjunction the parquet
+        # scan evaluates before any row reaches the aggregation. Exactly
+        # subsumed by expand_terms' per-qterm band, so semantics are
+        # unchanged; at a 10⁹-term dictionary it prunes the scan itself.
+        band = None
+        for qt in sorted(set(query_terms)):
+            d = auto_distance(qt)
+            c = (F.col("tlen") >= len(qt) - d) & (F.col("tlen") <= len(qt) + d)
+            band = c if band is None else (band | c)
+        if band is not None:
+            tstats = tstats.filter(band)
     return tstats.groupBy("term").agg(F.max("df").alias("df"))
 
 

@@ -61,20 +61,68 @@ def write_tstats(tstats: DataFrame, out_dir: str) -> None:
       min/max statistics prune the scan inside a directory too;
     - `p1` (first character) as a stored column — the fuzzy-expansion prefix
       band (ES `prefix_length`): a fuzzy query filters p1 at the scan before
-      any levenshtein is evaluated.
+      any levenshtein is evaluated;
+    - `tlen` (char length) + `bagsig` (packed 16-nibble character-bag
+      signature, operators/fuzzy.py) — fuzzy's |len−len(q)| ≤ d band becomes
+      a PUSHED range predicate and the bag-distance ≤ 2d prefilter becomes
+      columnar numpy over scan output, instead of a Python pass over the
+      first-char bucket's vocabulary (the 5M-doc cold-fuzzy bottleneck).
 
     This is what lets a 10⁸–10⁹-term vocabulary be served without ever
     materializing the dictionary (SegmentSearcher.open_local is lazy over this
     layout; cold terms cost one pruned read, not a full tstats scan)."""
+    from ..operators.fuzzy import bag_signature_col
+
     (
         tstats.withColumn("tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int"))
         .withColumn("p1", F.substring("term", 1, 1))
+        .withColumn("tlen", F.length("term"))
+        .withColumn("bagsig", bag_signature_col(F.col("term")))
         .repartition("tb")
         .sortWithinPartitions("term", "field")
         .write.mode("overwrite")
         .partitionBy("tb")
         .parquet(os.path.join(out_dir, "tstats"))
     )
+
+
+def upgrade_tstats(spark: SparkSession, store_dir: str) -> bool:
+    """Schema-evolve a written store's term dictionary in place: recompute
+    the derived tstats columns (p1/tlen/bagsig) for stores built before they
+    existed — the ES reindex-on-mapping-change admin dance
+    (elastic-interaction/elastic_settings.go:35-92), scoped to the
+    vocabulary-sized dictionary only (segments/docs untouched). Returns True
+    if a rewrite happened. Write-to-sibling + rename, so a crash mid-upgrade
+    leaves the original dictionary intact."""
+    import shutil
+
+    from ..operators.fuzzy import bag_signature_col
+
+    path = os.path.join(store_dir, "tstats")
+    cur = spark.read.parquet(path)
+    if "bagsig" in cur.columns:
+        return False
+    tmp = path + ".upgrade"
+    base = cur.select("term", "field", "df")
+    # write_tstats recomputes tb/p1/tlen/bagsig and the per-bucket term sort
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        base.withColumn("tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int"))
+        .withColumn("p1", F.substring("term", 1, 1))
+        .withColumn("tlen", F.length("term"))
+        .withColumn("bagsig", bag_signature_col(F.col("term")))
+        .repartition("tb")
+        .sortWithinPartitions("term", "field")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(tmp)
+    )
+    old = path + ".pre_upgrade"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return True
 
 
 def _unit_col(n_units: int):
