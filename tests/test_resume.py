@@ -118,6 +118,44 @@ def test_resume_after_corpus_change_rebuilds_all(spark, corpus, tmp_path_factory
     bigger.unpersist()
 
 
+def test_auto_shards_and_geometry_invalidation(spark, corpus, tmp_path_factory):
+    """num_shards='auto' bounds docs PER SHARD (head-query TAAT latency is
+    linear in per-shard postings, so a fixed shard count makes it linear in
+    corpus size); rankings are shard-count-independent; and a resume with a
+    different shard geometry must rebuild, not skip 'parsed' units built
+    under the old layout."""
+    from ucuddle_search_engine_spark.plans.build_index import (
+        DOCS_PER_SHARD,
+        MAX_AUTO_SHARDS,
+        auto_num_shards,
+    )
+
+    assert auto_num_shards(100) == 3  # floor: the reference's 3-shard default
+    assert auto_num_shards(5_000_000) == -(-5_000_000 // DOCS_PER_SHARD)
+    assert auto_num_shards(10**12) == MAX_AUTO_SHARDS
+
+    out = str(tmp_path_factory.mktemp("idx_geom"))
+    build_index_resumable(spark, corpus, out, n_units=2, num_shards="auto")
+    s3 = load_searcher(spark, out)
+    segs = spark.read.parquet(os.path.join(out, "segments"))
+    assert {r["shard"] for r in segs.select("shard").distinct().collect()} == {0, 1, 2}
+    want = [(r["doc_id"], round(r["score"], 9)) for r in
+            s3.search_terms(["t0", "t1"], k=10, mode="or").collect()]
+
+    # same corpus, different geometry → every unit rebuilt under 5 shards
+    res = build_index_resumable(spark, corpus, out, n_units=2, num_shards=5)
+    assert res["completed_units"] == 2  # nothing skipped
+    segs = spark.read.parquet(os.path.join(out, "segments"))
+    assert {r["shard"] for r in segs.select("shard").distinct().collect()} == set(range(5))
+    s5 = load_searcher(spark, out)
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           s5.search_terms(["t0", "t1"], k=10, mode="or").collect()]
+    assert got == want and got  # sharding is physical: identical ranking
+    # identical geometry + corpus → true no-op resume still works
+    res2 = build_index_resumable(spark, corpus, out, n_units=2, num_shards=5)
+    assert res2["completed_units"] == 0
+
+
 def test_tombstoned_docs_vanish_from_results(spark, corpus, tmp_path_factory):
     """delete-docs writes tombstones; search anti-filters them BEFORE the
     top-k cut (successor docs fill the slots), scores keep corpus-global

@@ -61,9 +61,13 @@ def main() -> None:
         if not (Path(store) / "cstats.json").exists():
             t0 = time.time()
             # write_postings: every curve store ships the positional sidecar
-            # (phrase/highlight classes measured at every size — round 5)
+            # (phrase/highlight classes measured at every size — round 5).
+            # num_shards="auto": bounded docs-per-shard (500k) so head-query
+            # TAAT cost stays ~constant per shard as the corpus grows — 5M
+            # docs get 10 shards, not the 3-shard floor (round 6)
             stats = build_index_resumable(spark, corpus, store,
                                           n_units=8 if n >= 5_000_000 else 4,
+                                          num_shards="auto",
                                           write_postings=True)
             row["build_s"] = round(time.time() - t0, 1)
             assert not stats["crashed"]

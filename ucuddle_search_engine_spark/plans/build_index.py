@@ -50,6 +50,29 @@ from ..operators.wand import SegmentSearcher
 
 TERM_BUCKETS = 64  # segment-store partition fan-out per unit (directory pruning)
 
+# --- auto shard count ----------------------------------------------------
+# The reference pins 3 primary shards (ES number_of_shards,
+# elastic-interaction/elastic_settings.go) for a corpus that never outgrows
+# one box. At engine scale the shard is the unit of BOTH query parallelism
+# (search_local scores shards concurrently; a cluster scatter-gathers them)
+# and head-query latency: an exhaustive TAAT disjunction is linear in
+# per-shard postings, so a fixed shard count makes head latency linear in
+# corpus size (measured 23 ms @1M → 117 ms @5M on 3 shards). Bounding DOCS
+# PER SHARD instead keeps per-shard work ~constant and lets the scoring
+# pool/cluster absorb growth — the ES "size shards, not shard counts"
+# operating rule. The cap bounds per-query fan-out on one box; a multi-box
+# deployment shards across machines first and raises it.
+DOCS_PER_SHARD = 500_000
+MAX_AUTO_SHARDS = 96
+
+
+def auto_num_shards(n_docs: int) -> int:
+    """Shard count for `num_shards="auto"`: ceil(n_docs / DOCS_PER_SHARD),
+    clamped to [3, MAX_AUTO_SHARDS]. Rankings are shard-count-independent
+    (BM25 uses collection-global stats; per-shard top-k merge is exact), so
+    this is a purely physical choice."""
+    return max(3, min(MAX_AUTO_SHARDS, -(-int(n_docs) // DOCS_PER_SHARD)))
+
 
 def write_tstats(tstats: DataFrame, out_dir: str) -> None:
     """Write the term-stats dictionary in the vocabulary-scale layout:
@@ -206,7 +229,7 @@ def build_index_resumable(
     corpus: DataFrame,
     out_dir: str,
     n_units: int = 8,
-    num_shards: int = 3,
+    num_shards: int | str = 3,
     block_size: int = 128,
     fail_after_units: int | None = None,
     write_postings: bool = False,
@@ -224,6 +247,12 @@ def build_index_resumable(
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = BuildManifest(os.path.join(out_dir, "manifest.jsonl"))
+
+    if num_shards == "auto":
+        # bounded docs-per-shard (see auto_num_shards). One count up front —
+        # parquet sources answer it from footer metadata, no data read — and
+        # it must precede build_docs, which assigns the shard column.
+        num_shards = auto_num_shards(corpus.count())
 
     # pass 0: global deterministic ids + collection stats
     docs = build_docs(corpus, num_shards=num_shards, scale_ids=scale_ids, analyzer=analyzer,
@@ -249,6 +278,10 @@ def build_index_resumable(
     # WHOLE corpus is unchanged (identical-corpus crash-resume). Any mismatch
     # → invalidate and rebuild all units.
     fps = _unit_fingerprints(docs, n_units)
+    # the stored layout is (corpus content × shard/block geometry): a resume
+    # with a different num_shards/block_size must NOT skip "parsed" units
+    # built under the old geometry — bake the geometry into the fingerprint
+    fps = {pid: f"{fp}-s{num_shards}b{block_size}" for pid, fp in fps.items()}
     corpus_changed = any(
         manifest.fingerprint(pid) is not None and manifest.fingerprint(pid) != fps[pid]
         for pid in range(n_units)
