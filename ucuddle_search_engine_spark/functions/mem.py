@@ -39,6 +39,27 @@ _LOCK = threading.Lock()
 _ENABLED = False
 _HOT_BYTES = 0
 
+# queries currently executing (query_begin/query_end). The idle-time top-up
+# (topup_async) aborts its touch loop the moment this goes nonzero: a
+# background prefault competes with live queries for memory bandwidth and
+# the allocator — measured as multi-second warm-latency outliers when a
+# top-up kicked off by one bench class ran through the next class's timed
+# reps. In-query prefaults (search_local's touch-ahead) do NOT yield — the
+# query is waiting on them.
+_ACTIVE_QUERIES = 0
+
+
+def query_begin() -> None:
+    """Mark a serving query in flight (GIL-atomic int bump — a stale read
+    in the top-up thread only delays its abort by one chunk)."""
+    global _ACTIVE_QUERIES
+    _ACTIVE_QUERIES += 1
+
+
+def query_end() -> None:
+    global _ACTIVE_QUERIES
+    _ACTIVE_QUERIES -= 1
+
 
 def enable_heap_reuse() -> bool:
     """mallopt so glibc serves large allocations from the reusable heap
@@ -104,7 +125,7 @@ def _arena_free_bytes() -> int | None:
         return None
 
 
-def prefault(nbytes: int, threads: int = 16) -> int:
+def prefault(nbytes: int, threads: int = 16, yield_to_queries: bool = False) -> int:
     """Ensure ~`nbytes` of FREE, already-faulted heap arena, touching only
     the shortfall. Free-arena accounting (mallinfo2), not a touched-ever
     high-water mark: pages touched earlier but since occupied by LIVE cache
@@ -113,7 +134,13 @@ def prefault(nbytes: int, threads: int = 16) -> int:
     fill grew RSS re-faulted from scratch (26 s) under high-water
     accounting. Returns the bytes actually touched. Safe to call from a
     background thread (the touch loop is inside the lock, so concurrent
-    callers serialize instead of double-faulting)."""
+    callers serialize instead of double-faulting).
+
+    yield_to_queries: ABORT (not pause — aborting releases the lock so an
+    in-query prefault can't deadlock behind us) as soon as a query goes in
+    flight; the idle-time top-up retries after that query ends anyway. Each
+    worker checks between ~32 MB strips, so a query loses at most one
+    strip's worth of bandwidth per worker."""
     global _HOT_BYTES
     if not enable_heap_reuse():
         return 0
@@ -130,23 +157,47 @@ def prefault(nbytes: int, threads: int = 16) -> int:
 
         arena = np.empty(delta, dtype=np.uint8)
         page = 4096
+        # yield path: small strips + ONE worker. Fault throughput is
+        # serialized by the kernel at ~5.4 s/GB at ANY parallelism (see
+        # module docstring), so extra workers buy nothing — but each worker
+        # finishes its in-flight strip after a query starts, so N workers ×
+        # strip is the bandwidth stolen from that query (16 × 32 MB ≈ 0.5 GB
+        # ≈ 2.7 s of serialized faults, measured as 1.5-2.5× warm-latency
+        # inflation on the classes that followed a cache-growing one).
+        if yield_to_queries:
+            threads = 1
+            strip = 8 * 1024 * 1024
+        else:
+            strip = 32 * 1024 * 1024
         ch = max(1, len(arena) // max(1, threads))
 
         def touch(i: int) -> None:
-            arena[i * ch: (i + 1) * ch + (len(arena) if i == threads - 1 else 0):
-                  page] = 0
+            lo = i * ch
+            hi = (i + 1) * ch if i < threads - 1 else len(arena)
+            while lo < hi:
+                if yield_to_queries and _ACTIVE_QUERIES > 0:
+                    return
+                arena[lo:min(lo + strip, hi):page] = 0
+                lo += strip
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(threads) as ex:
-            list(ex.map(touch, range(threads)))
+        try:
+            with ThreadPoolExecutor(threads) as ex:
+                list(ex.map(touch, range(threads)))
+        except RuntimeError:
+            # interpreter shutdown while a daemon top-up was queued — the
+            # process is exiting; warmed pages are moot
+            return 0
         del arena  # stays in the heap arena, pages remain resident
     return delta
 
 
-def prefault_async(nbytes: int, threads: int = 16) -> threading.Thread:
+def prefault_async(nbytes: int, threads: int = 16,
+                   yield_to_queries: bool = False) -> threading.Thread:
     """Kick prefault on a daemon thread (overlap with I/O); join() to wait."""
-    t = threading.Thread(target=prefault, args=(nbytes, threads), daemon=True)
+    t = threading.Thread(target=prefault, args=(nbytes, threads, yield_to_queries),
+                         daemon=True)
     t.start()
     return t
 
@@ -218,4 +269,7 @@ def topup_async() -> None:
     free = _arena_free_bytes()
     if free is not None and _TOPUP_TARGET - free <= 64 * 1024 * 1024:
         return
-    _TOPUP_THREAD = prefault_async(_TOPUP_TARGET)
+    # yield_to_queries: the top-up must never compete with a live query for
+    # memory bandwidth — it aborts on query_begin and retries after that
+    # query's own end-of-query topup_async call
+    _TOPUP_THREAD = prefault_async(_TOPUP_TARGET, yield_to_queries=True)

@@ -239,17 +239,34 @@ def phrase_search_local(store_dir: str, terms: list[str], k: int = 10,
     (every position must fit its doc's span, else the store permanently
     falls back); other fields and invalid stores use the sorted-key
     searchsorted merge."""
-    import math
-
-    import numpy as np
-
     if not terms:
         raise ValueError("empty phrase")
     root = os.path.join(store_dir, "postings")
     if not os.path.isdir(root):
         raise FileNotFoundError(f"{store_dir} lacks the positional sidecar "
                                 "(build with write_postings=True)")
+    from ..functions import mem
 
+    # query-in-flight mark: the background arena top-up yields (aborts its
+    # touch loop) while we run, instead of competing for memory bandwidth
+    mem.query_begin()
+    try:
+        return _phrase_search_local_impl(store_dir, terms, k, field, dead, cache)
+    finally:
+        mem.query_end()
+        # idle-time arena re-warm AFTER the active mark drops: a cold fill
+        # grows the live key cache, eating free hot pages — restore the
+        # target in the background (functions/mem)
+        mem.topup_async()
+
+
+def _phrase_search_local_impl(store_dir: str, terms: list[str], k: int,
+                              field: int, dead, cache) -> list[tuple[int, float]]:
+    import math
+
+    import numpy as np
+
+    root = os.path.join(store_dir, "postings")
     res = None
     if field == 0 and len(terms) < 250 and (store_dir, field) not in _RANK_INVALID:
         offsets = _token_offsets(store_dir, cache)
@@ -282,11 +299,6 @@ def phrase_search_local(store_dir: str, terms: list[str], k: int = 10,
     tf = tf.astype(np.float64)
     score = idf * (tf / (tf + K1 * (1.0 - B + B * dl / float(avgdl))))
     order = np.lexsort((uniq, -score))[:k]
-    from ..functions import mem
-
-    # idle-time arena re-warm: a cold fill grows the live key cache, eating
-    # free hot pages — restore the target in the background (functions/mem)
-    mem.topup_async()
     return [(int(uniq[i]), float(score[i])) for i in order]
 
 

@@ -166,6 +166,16 @@ class DecodeCache:
         self._put(key, (docs, contrib, None))
         return docs, contrib
 
+    def scored_cached_all(self, entries: list) -> bool:
+        """True iff EVERY (ckey, weight_idf, avgdl, ...) entry's scored-chain
+        memo is resident right now. Pure probe — no LRU touch, no decode:
+        lets the query planner pick exhaustive TAAT (a gather + one dense
+        aggregate over memoized chains) over block-max when pruning can't
+        save any decode work because there is none left to save."""
+        with self._lock:
+            return all((e[0], "__scored__", float(e[1]), float(e[2])) in self._d
+                       for e in entries)
+
     def get_scored_many(self, entries: list) -> list:
         """Batched get_scored over MANY whole chains: entries are
         (ckey, weight_idf, avgdl, doc_bytes, tf_bytes, dl_bytes); returns
@@ -597,8 +607,21 @@ class _BlockList:
         return docs, contrib
 
 
+def _read_store_meta(store_dir: str | None) -> dict:
+    """store_meta.json sidecar (num_shards/sharding/block_size) written by
+    the batch build, merge and streaming compaction. Older stores don't have
+    one — absence just disables the geometry-aware fast paths."""
+    if not store_dir:
+        return {}
+    try:
+        with open(os.path.join(store_dir, "store_meta.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
 def _aggregate_scores(docs_all: np.ndarray, contribs: np.ndarray,
-                      assume_positive: bool = False):
+                      assume_positive: bool = False, stride: int = 1):
     """(uniq_doc_ids, per-doc score sums). Doc ids are DENSE by construction
     (operators/ids assigns 0..N-1), so a weighted bincount — O(n + max_id),
     no sort — replaces unique + scatter-add whenever the id space is
@@ -608,7 +631,17 @@ def _aggregate_scores(docs_all: np.ndarray, contribs: np.ndarray,
     score sums: a caller may zero a field boost (weight_idf = 0), and a doc
     matched only through such a list must still appear with score 0.0 —
     exactly as the unique branch reports it — rather than vanish when the
-    dense branch happens to be picked."""
+    dense branch happens to be picked.
+
+    stride: the shard stride for modulo-sharded stores (shard = doc_id % S).
+    A single-shard group's ids all share one residue class, so the LOCAL
+    index (doc_id - mn) // S is dense over span/S slots — without it a
+    10-shard 5M-doc store's head-query groups (len ~1M, raw span 5M) failed
+    the density test and fell to the sort path (measured 117 → 277 ms warm
+    or2_head going 3 → 10 shards). The residues are verified before use —
+    a mixed-residue input (merged/foreign store) falls back rather than
+    silently colliding slots — and both branches accumulate in input order,
+    so the float sums stay bit-identical whichever branch runs."""
     if not len(docs_all):
         return np.empty(0, np.int64), np.empty(0, np.float64)
     mx = int(docs_all.max())
@@ -617,6 +650,18 @@ def _aggregate_scores(docs_all: np.ndarray, contribs: np.ndarray,
     # group sees ids inside one unit's range (e.g. [4.4M, 5M)), which is
     # dense relative to ITS OWN width even though it fails an origin-based
     # test — without the offset every late-unit group fell to the sort path
+    st = max(1, int(stride))
+    if st > 1 and mn >= 0:
+        span = (mx - mn) // st + 1
+        if span <= max(4 * len(docs_all), 1 << 20):
+            off, rem = np.divmod(docs_all - mn, st)
+            if not rem.any():  # single residue class — stride map is exact
+                dense = np.bincount(off, weights=contribs, minlength=span)
+                if assume_positive:
+                    uniq = np.flatnonzero(dense)
+                else:
+                    uniq = np.flatnonzero(np.bincount(off, minlength=span))
+                return uniq.astype(np.int64) * st + mn, dense[uniq]
     if mn >= 0 and mx - mn + 1 <= max(4 * len(docs_all), 1 << 20):
         off = docs_all - mn if mn else docs_all
         dense = np.bincount(off, weights=contribs, minlength=mx - mn + 1)
@@ -664,7 +709,7 @@ TAAT_DENSITY = 0.4
 
 def _taat_or(lists: list["_BlockList"], k: int,
              dead: np.ndarray | None = None,
-             round_dp: int | None = None) -> list[tuple[int, float]]:
+             round_dp: int | None = None, stride: int = 1) -> list[tuple[int, float]]:
     """Exhaustive term-at-a-time disjunction over whole chains: decode every
     block (full-chain scored memo when cached), one dense aggregate, top-k.
     No pruning — the right plan when pruning can't pay (head-dominated or
@@ -691,6 +736,7 @@ def _taat_or(lists: list["_BlockList"], k: int,
         # so the score sums themselves identify the matched set and the
         # second (unweighted) bincount pass can be skipped
         assume_positive=all(L.weight_idf > 0 for L in lists),
+        stride=stride,
     )
     if round_dp is not None:
         scores = np.round(scores, round_dp)  # BEFORE the cut (tie-break contract)
@@ -699,7 +745,8 @@ def _taat_or(lists: list["_BlockList"], k: int,
 
 
 def _blockmax_or_numpy(lists: list[_BlockList], k: int,
-                       dead: np.ndarray | None = None) -> list[tuple[int, float]]:
+                       dead: np.ndarray | None = None,
+                       stride: int = 1) -> list[tuple[int, float]]:
     """Vectorized block-max disjunctive top-k (exact scores) — the WAND
     replacement whose inner work is numpy over whole blocks, not per-posting
     Python:
@@ -722,7 +769,7 @@ def _blockmax_or_numpy(lists: list[_BlockList], k: int,
         # scores sit far below the true k-th total, so θ prunes almost
         # nothing and the bound bookkeeping dominates. Exhaustive TAAT over
         # whole chains is both faster and hits the full-chain decode memo.
-        return _taat_or(lists, k, dead=dead)
+        return _taat_or(lists, k, dead=dead, stride=stride)
     # ---- seed: globally top-ub blocks until ~4k postings are decoded ------
     owner = np.concatenate([np.full(len(L.ubs), li, np.int64) for li, L in enumerate(lists)])
     bidx = np.concatenate([np.arange(len(L.ubs), dtype=np.int64) for L in lists])
@@ -749,7 +796,7 @@ def _blockmax_or_numpy(lists: list[_BlockList], k: int,
         if dead is not None and len(dead) and len(docs_all):
             alive = ~np.isin(docs_all, dead)
             docs_all, contribs = docs_all[alive], contribs[alive]
-        return _aggregate_scores(docs_all, contribs)
+        return _aggregate_scores(docs_all, contribs, stride=stride)
 
     uniq, scores = topk_from(docs_parts, contrib_parts)
     if len(uniq) >= k:
@@ -825,6 +872,84 @@ def _merge_intervals(los: np.ndarray, his: np.ndarray) -> tuple[np.ndarray, np.n
     return los[new], np.maximum.reduceat(his, np.flatnonzero(new))
 
 
+#: per-GROUP full-decode ceiling for the dense AND path: below it, decoding
+#: every chain through the scored-chain memo (one batched pass, then pure
+#: cache hits) beats block-interval pruning — the pruning path re-runs its
+#: per-block Python every query even when fully warm (measured 426 ms warm
+#: vs ~30 ms dense for head∧mid∧tail at 5M docs / 10 shards)
+AND_DENSE_MAX_POSTINGS = 2_000_000
+
+
+def _dense_and(blists_by_term: dict[str, list["_BlockList"]], k: int,
+               dead: np.ndarray | None, round_dp: int | None,
+               stride: int, cache: "DecodeCache") -> list | None:
+    """AND top-k over fully-memoized scored chains, on dense LOCAL slots
+    ((doc - mn) // stride — valid because one scoring group holds one shard's
+    single residue class): a per-term presence vector, an == nterms mask,
+    and per-chain contribution adds in the SAME chain order and with the
+    SAME float expression as _intersect_and — bit-identical scores. Returns
+    None (caller falls back to block-interval pruning) when the id space
+    disproves the stride assumption or is too sparse for dense vectors."""
+    entries = [(L._ckey, L.weight_idf, L.avgdl, L.doc_bytes, L.tf_bytes, L.dl_bytes)
+               for ls in blists_by_term.values() for L in ls]
+    parts = cache.get_scored_many(entries)
+    flat: list = []
+    i = 0
+    mn, mx, total = None, None, 0
+    for t, ls in blists_by_term.items():
+        per_term = []
+        for _L in ls:
+            d, c = parts[i]
+            i += 1
+            if dead is not None and len(dead) and len(d):
+                alive = ~np.isin(d, dead)
+                d, c = d[alive], c[alive]
+            if len(d):
+                mn = int(d[0]) if mn is None else min(mn, int(d[0]))
+                mx = int(d[-1]) if mx is None else max(mx, int(d[-1]))
+                total += len(d)
+            per_term.append((d, c))
+        if all(len(d) == 0 for d, _ in per_term):
+            return []  # a term with zero live postings in this group → empty AND
+        flat.append(per_term)
+    st = max(1, int(stride))
+    span = (mx - mn) // st + 1
+    if span > max(4 * total, 1 << 20):
+        return None  # too sparse for dense vectors — pruning path instead
+    nterms = len(blists_by_term)
+    cnt = np.zeros(span, dtype=np.uint8 if nterms < 255 else np.int64)
+    slots_by = []
+    for per_term in flat:
+        tb = np.zeros(span, dtype=bool)
+        tslots = []
+        for d, c in per_term:
+            if not len(d):
+                tslots.append(None)
+                continue
+            off, rem = np.divmod(d - mn, st)
+            if rem.any():
+                return None  # mixed residues: stride assumption is false here
+            tb[off] = True
+            tslots.append(off)
+        slots_by.append(tslots)
+        cnt += tb
+    matched = cnt == nterms
+    if not matched.any():
+        return []
+    dense = np.zeros(span, dtype=np.float64)
+    for per_term, tslots in zip(flat, slots_by):
+        for (d, c), off in zip(per_term, tslots):
+            if off is not None:
+                dense[off] += c  # unique slots within a chain → plain fancy add
+    slots = np.flatnonzero(matched)
+    docs = slots.astype(np.int64) * st + mn
+    scores = dense[slots]
+    if round_dp is not None:
+        scores = np.round(scores, round_dp)
+    order = _topk_order(docs, scores, k)
+    return [(int(docs[i]), float(scores[i])) for i in order]
+
+
 def _intersect_and_blocks(blists_by_term: dict[str, list[_BlockList]], k: int,
                           dead: np.ndarray | None = None,
                           round_dp: int | None = None) -> list[tuple[int, float]]:
@@ -878,7 +1003,8 @@ def _intersect_and_blocks(blists_by_term: dict[str, list[_BlockList]], k: int,
     return _intersect_and(out_lists, k, round_dp=round_dp)
 
 
-def _exact_or_numpy(lists: list[_PList], k: int, round_dp: int | None = None) -> list[tuple[int, float]]:
+def _exact_or_numpy(lists: list[_PList], k: int, round_dp: int | None = None,
+                    stride: int = 1) -> list[tuple[int, float]]:
     """Vectorized disjunctive top-k: concatenate all decoded postings, one
     np.unique + scatter-add, lexsort top-k. No pruning, but ~100× less Python
     overhead per posting than the WAND loop — wins whenever the lists are
@@ -894,7 +1020,7 @@ def _exact_or_numpy(lists: list[_PList], k: int, round_dp: int | None = None) ->
             for L in lists
         ]
     )
-    uniq, scores = _aggregate_scores(docs_all, contribs)
+    uniq, scores = _aggregate_scores(docs_all, contribs, stride=stride)
     if round_dp is not None:
         scores = np.round(scores, round_dp)  # BEFORE the cut (tie-break contract)
     order = _topk_order(uniq, scores, k)
@@ -937,7 +1063,7 @@ def _intersect_and(lists_by_term: dict[str, list[_PList]], k: int,
 def _score_shard_rows(pdf: pd.DataFrame, widf: dict, avgdl: dict, mode: str, k: int,
                       nterms: int, algorithm: str, dead, round_dp, wand_min: int,
                       cache: "DecodeCache | None" = None,
-                      cache_shard: object = None) -> list:
+                      cache_shard: object = None, stride: int = 1) -> list:
     """Block rows of ONE shard → top-k [(doc_id, score)]. Shared verbatim by
     the distributed path (applyInPandas closure) and the driver-side serving
     path (SegmentSearcher.search_local) so both return identical rankings.
@@ -959,12 +1085,12 @@ def _score_shard_rows(pdf: pd.DataFrame, widf: dict, avgdl: dict, mode: str, k: 
         ck = (cache_shard, *gkey) if cache is not None else None
         groups.append((t, key, g, ck))
     return _score_chains(groups, widf, avgdl, mode, k, nterms, algorithm,
-                         dead, round_dp, wand_min, cache=cache)
+                         dead, round_dp, wand_min, cache=cache, stride=stride)
 
 
 def _score_chains(groups: list, widf: dict, avgdl: dict, mode: str, k: int,
                   nterms: int, algorithm: str, dead, round_dp, wand_min: int,
-                  cache: "DecodeCache | None" = None) -> list:
+                  cache: "DecodeCache | None" = None, stride: int = 1) -> list:
     """Core scorer over prebuilt chains — each group entry is
     (term, (term, field), block-frame, cache-key[, _BlockList]): the serving
     tier feeds it straight from its per-term chain cache (no per-query pandas
@@ -994,24 +1120,31 @@ def _score_chains(groups: list, widf: dict, avgdl: dict, mode: str, k: int,
             blists_by_term.setdefault(e[0], []).append(bl(e))
         if len(blists_by_term) < nterms:
             return []
+        if cache is not None and total <= AND_DENSE_MAX_POSTINGS:
+            # serving tier, cache-sized selection: dense AND over the scored
+            # chain memos (see _dense_and) — warm queries are pure gathers
+            res = _dense_and(blists_by_term, k, dead, round_dp, stride, cache)
+            if res is not None:
+                return res
         return _intersect_and_blocks(blists_by_term, k, dead=dead, round_dp=round_dp)
     if algorithm == "taat":
         # exhaustive disjunction (head-dominated queries, see TAAT_DENSITY):
         # every chain fully decoded through the scored-chain memo, ONE dense
         # aggregate over the whole group — the caller groups by shard only,
         # so the bincount spans the shard's doc range once per query
-        return _taat_or([bl(e) for e in groups], k, dead=dead, round_dp=round_dp)
+        return _taat_or([bl(e) for e in groups], k, dead=dead, round_dp=round_dp,
+                        stride=stride)
     if round_dp is None and (algorithm == "wand" or (algorithm == "auto" and total >= wand_min)):
         # vectorized block-max scorer: decodes only blocks whose interval
         # bound can beat θ (numpy-blocked, no per-posting loop)
-        return _blockmax_or_numpy([bl(e) for e in groups], k, dead=dead)
+        return _blockmax_or_numpy([bl(e) for e in groups], k, dead=dead, stride=stride)
     if algorithm == "wand_loop":
         flat = [_PList(g, widf[key], avgdl[key], dead=dead, cache=cache, ckey=ck)
                 for _, key, g, ck, *_ in groups]
         return _wand_or(flat, k)
     flat = [_PList(g, widf[key], avgdl[key], dead=dead, cache=cache, ckey=ck)
             for _, key, g, ck, *_ in groups]
-    return _exact_or_numpy(flat, k, round_dp=round_dp)
+    return _exact_or_numpy(flat, k, round_dp=round_dp, stride=stride)
 
 
 class SegmentSearcher:
@@ -1031,6 +1164,13 @@ class SegmentSearcher:
         # physical store path (written stores) — enables the no-Spark-job
         # serving path (search_local)
         self.store_dir = store_dir
+        # shard stride (= the store's num_shards under modulo sharding),
+        # from store_meta.json when the store carries one. Lets single-shard
+        # scoring groups aggregate into DENSE local slots ((id-mn)//S) at
+        # any shard count — None/1 keeps the raw-id density test, which is
+        # what in-memory and legacy stores get.
+        self.num_shards: int | None = _read_store_meta(store_dir).get("num_shards") \
+            if store_dir is not None else None
         self._warm_thread = None
         if store_dir is not None:
             # serving-tier allocator posture (functions/mem): WITHOUT it this
@@ -1173,6 +1313,15 @@ class SegmentSearcher:
     #: docs a 0.8M-posting mid query measured 146 ms in 3 shard groups vs
     #: 218 ms in 12 (shard, unit) groups)
     PER_UNIT_MIN_POSTINGS = 2_000_000
+    #: ... and even above that total, only when the AVERAGE fine group
+    #: clears this many postings — per-group cost must be numpy-dominated
+    #: for the finer fan-out (and the pool) to pay
+    FINE_GROUP_MIN_POSTINGS = 200_000
+    #: below this many selected postings PER SCORING GROUP, search_local
+    #: scores the groups serially in the calling thread: the work is then
+    #: GIL-held Python (chain/frame bookkeeping), and a thread-pool fan-out
+    #: is a convoy, not a speedup (see the routing comment in search_local)
+    POOL_MIN_POSTINGS = 300_000
 
     def search_terms(self, terms: list[str], k: int = 20, mode: str = "and",
                      algorithm: str = "auto", offset: int = 0,
@@ -1233,10 +1382,13 @@ class SegmentSearcher:
 
         wand_min = SegmentSearcher.WAND_MIN_POSTINGS
 
+        stride = self.num_shards or 1
+
         def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             dead = b_dead.value if b_dead is not None else None
             top = _score_shard_rows(pdf, b_widf.value, b_avgdl.value, mode, k,
-                                    nterms, algorithm, dead, round_dp, wand_min)
+                                    nterms, algorithm, dead, round_dp, wand_min,
+                                    stride=stride)
             return pd.DataFrame(top, columns=["doc_id", "score"]).astype(
                 {"doc_id": "int64", "score": "float64"})
 
@@ -1259,6 +1411,7 @@ class SegmentSearcher:
         obj.cstats = None
         obj.boosts = boosts if boosts is not None else dict(DEFAULT_BOOSTS)
         obj.store_dir = store_dir
+        obj.num_shards = _read_store_meta(store_dir).get("num_shards")
         tpath = os.path.join(store_dir, "tstats")
         if any(e.startswith("tb=") for e in os.listdir(tpath)):
             # vocabulary-scale layout (tb-partitioned, term-sorted): open
@@ -1336,6 +1489,29 @@ class SegmentSearcher:
     def search_local(self, terms: list[str], k: int = 20, mode: str = "and",
                      algorithm: str = "auto", offset: int = 0,
                      round_dp: int | None = None) -> list[tuple[int, float]]:
+        """Query-in-flight wrapper around the serving read path: marks the
+        query active so the background arena top-up yields the memory bus
+        (functions/mem), and fires the idle-time top-up AFTER the active
+        mark drops — launching it before query_end would make it abort
+        against our own query."""
+        from ..functions import mem
+
+        mem.query_begin()
+        try:
+            return self._search_local_impl(terms, k=k, mode=mode,
+                                           algorithm=algorithm, offset=offset,
+                                           round_dp=round_dp)
+        finally:
+            mem.query_end()
+            # idle-time arena re-warm: cache growth during THIS query
+            # consumed free hot pages; restore the free-arena target in the
+            # background so the next distinct query doesn't fault at
+            # ~5.4 s/GB (functions/mem)
+            mem.topup_async()
+
+    def _search_local_impl(self, terms: list[str], k: int = 20, mode: str = "and",
+                           algorithm: str = "auto", offset: int = 0,
+                           round_dp: int | None = None) -> list[tuple[int, float]]:
         """The serving-tier read path: identical ranking to search_terms, but
         executed entirely driver-side — a pyarrow dataset read of the
         directory-pruned store (tb partition filter + term row-group
@@ -1410,6 +1586,19 @@ class SegmentSearcher:
                 # by SHARD ONLY so the dense bincount runs once per shard
                 # over its full doc span instead of a sort-merge per unit
                 algorithm = "taat"
+            elif algorithm == "auto" and mode != "and" and cache.scored_cached_all(
+                [((sh, t, f) if u is None else (sh, t, f, u),
+                  widf[(t, f)], avgdl[(t, f)])
+                 for t in terms for (sh, u, f, _g, _n, _s) in chains_by_term.get(t, ())
+                 if (t, f) in widf]
+            ):
+                # warm-memo shortcut: every chain's scored array is already
+                # resident, so there is no decode work left for block-max to
+                # prune — its per-block seed/θ bookkeeping would be pure
+                # overhead (measured ~600 ms vs ~30 ms on a warm 3-term
+                # mid-frequency OR at 5M docs). Exhaustive TAAT over the
+                # memos is exact, so rankings are unchanged.
+                algorithm = "taat"
             elif algorithm == "auto" and round_dp is None \
                     and total_sel >= SegmentSearcher.WAND_MIN_POSTINGS:
                 algorithm = "wand"
@@ -1422,10 +1611,18 @@ class SegmentSearcher:
             # DecodeCache is lock-safe; keys stay (shard, term, field, unit)
             # — identical to the pdf-groupby path's.
             # small selections collapse to shard-only groups: per-group fixed
-            # overhead (list/cache assembly) dominates tiny chains, so 24
-            # (shard, unit) tasks cost more than 3 slightly-bigger ones
+            # overhead (list/cache assembly) dominates tiny chains. The
+            # criterion is postings PER FINE GROUP, not total — a fixed total
+            # threshold tuned at 12 (shard, unit) slices exploded to 80
+            # undersized groups on a 10-shard × 8-unit store (measured 3-6×
+            # warm-latency inflation on mid-OR and mixed-AND classes, pure
+            # per-group Python overhead)
+            fine_keys = {(sh, u) for t in terms
+                         for (sh, u, f, _g, _n, _s) in chains_by_term.get(t, ())
+                         if (t, f) in widf}
             per_unit = algorithm != "taat" \
-                and total_sel >= SegmentSearcher.PER_UNIT_MIN_POSTINGS
+                and total_sel >= SegmentSearcher.PER_UNIT_MIN_POSTINGS \
+                and total_sel >= SegmentSearcher.FINE_GROUP_MIN_POSTINGS * max(1, len(fine_keys))
             groups: dict = {}
             for t in terms:
                 for sh, u, f, g, _n, slot in chains_by_term.get(t, ()):
@@ -1467,22 +1664,30 @@ class SegmentSearcher:
                       L.doc_bytes, L.tf_bytes, L.dl_bytes)
                      for v in groups.values() for _, _, _, _, L in v])
 
+            stride = self.num_shards or 1
+
             def run_group(chains):
                 return _score_chains(chains, widf, avgdl, mode, offset + k,
                                      nterms, algorithm, dead, round_dp,
                                      SegmentSearcher.WAND_MIN_POSTINGS,
-                                     cache=cache)
+                                     cache=cache, stride=stride)
 
-            if len(groups) > 1:
+            # Pool only when per-GROUP work is numpy-dominated (big decoded
+            # selections release the GIL for long spans). Small/medium
+            # groups are dominated by per-chain Python (frame slicing,
+            # cache bookkeeping, block loops) which HOLDS the GIL — fanning
+            # those across 10+ threads is a convoy: measured on a 10-shard
+            # 5M-doc store, tail-term 27 ms serial vs ~210 ms pooled, 3-term
+            # AND 88 ms serial vs 1.4-3.1 s pooled, while head-TAAT or4 was
+            # 321 ms pooled vs 1.37 s serial.
+            if len(groups) > 1 and \
+                    total_sel >= SegmentSearcher.POOL_MIN_POSTINGS * len(groups):
                 for part in self._scoring_pool().map(run_group, list(groups.values())):
                     tops.extend(part)
-            elif groups:
-                tops.extend(run_group(next(iter(groups.values()))))
+            else:
+                for chains in groups.values():
+                    tops.extend(run_group(chains))
         tops.sort(key=lambda x: (-x[1], x[0]))
-        # idle-time arena re-warm: cache growth during THIS query consumed
-        # free hot pages; restore the free-arena target in the background so
-        # the next distinct query doesn't fault at ~5.4 s/GB (functions/mem)
-        mem.topup_async()
         return tops[offset:offset + k]
 
     # per-term segment-metadata chain cache budget (block rows). Entries hold

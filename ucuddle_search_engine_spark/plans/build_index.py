@@ -374,6 +374,12 @@ def build_index_resumable(
     # scores — a ULP away from the stored max_impact bounds)
     with open(os.path.join(out_dir, "cstats.json"), "w") as f:
         json.dump([r.asDict() for r in cstats.collect()], f)
+    # geometry sidecar: lets the searcher map a modulo-sharded group's doc
+    # ids onto dense LOCAL slots ((id - mn) // num_shards) — per-shard
+    # aggregation arrays then scale with docs-per-shard, not corpus size
+    with open(os.path.join(out_dir, "store_meta.json"), "w") as f:
+        json.dump({"num_shards": num_shards, "sharding": "mod",
+                   "block_size": block_size}, f)
 
     n_total = docs.count()
     docs.unpersist()

@@ -215,6 +215,9 @@ def merge_many(spark: SparkSession, stores: list[str], out_dir: str,
     )
     with open(os.path.join(out_dir, "cstats.json"), "w") as f:
         json.dump([r.asDict() for r in cstats.collect()], f)
+    with open(os.path.join(out_dir, "store_meta.json"), "w") as f:
+        json.dump({"num_shards": num_shards, "sharding": "mod",
+                   "block_size": block_size}, f)
     if analyzer is not None:
         from dataclasses import asdict
 

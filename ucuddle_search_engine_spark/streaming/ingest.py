@@ -134,4 +134,7 @@ def compact_to_store(
     # block bounds) — so it comes from the same collection_stats plan
     with open(os.path.join(out_dir, "cstats.json"), "w") as f:
         json.dump([r.asDict() for r in collection_stats(dstats).collect()], f)
+    with open(os.path.join(out_dir, "store_meta.json"), "w") as f:
+        json.dump({"num_shards": num_shards, "sharding": "mod",
+                   "block_size": block_size}, f)
     segs.unpersist()
