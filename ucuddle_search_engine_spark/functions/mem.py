@@ -203,13 +203,18 @@ def prefault_async(nbytes: int, threads: int = 16,
 
 
 def startup_warm_bytes(store_dir) -> int:
-    """How much arena to pre-touch when a serving view opens: the query-path
-    working set is bounded by the decode cache (~5% RAM at 24 B/posting, see
-    wand._default_decode_cache_postings) plus transient decode buffers of
-    comparable size — but never more than the store itself could decode
-    into. min(store_bytes/2, 1.5 × decode-cache bytes, 16 GB); tiny test
-    stores land under prefault's 64 MB floor and cost nothing.
-    Env override: UCUDDLE_STARTUP_WARM_BYTES (0 disables)."""
+    """How much arena to pre-touch when a serving view opens: the PEAK
+    serving working set — decode cache (~5% RAM at 24 B/posting, see
+    wand._default_decode_cache_postings) with headroom for transient decode
+    buffers, PLUS half the phrase keys-cache budget (its resident entries
+    are what consumed the original, decode-only target: a heavy phrase class
+    left the next cold query ~10 GB of fresh faults at 5.4 s/GB — 83 s
+    user-visible, measured) — but never more than the store's own on-disk
+    bytes (decoded live arrays roughly trade compression against the
+    un-decoded docs/positions share). Capped at 24 GB; tiny test
+    stores land under prefault's 64 MB floor and cost nothing. Startup pays
+    this once, off the query path — the ES index-warmer / JVM AlwaysPreTouch
+    posture. Env override: UCUDDLE_STARTUP_WARM_BYTES (0 disables)."""
     import os
 
     env = os.environ.get("UCUDDLE_STARTUP_WARM_BYTES")
@@ -225,10 +230,12 @@ def startup_warm_bytes(store_dir) -> int:
                     pass
     except OSError:
         return 0
+    from ..operators.phrase import PhraseKeysCache
     from ..operators.wand import _default_decode_cache_postings
 
     cache_bytes = _default_decode_cache_postings() * 24
-    return int(min(total // 2, cache_bytes * 3 // 2, 16 << 30))
+    phrase_bytes = PhraseKeysCache().max_bytes
+    return int(min(total, cache_bytes * 3 // 2 + phrase_bytes // 2, 24 << 30))
 
 
 def startup_warm(store_dir) -> threading.Thread:
