@@ -472,11 +472,16 @@ def test_search_local_taat_and_grouping_parity(spark, tmp_path_factory):
     c2 = local._term_chains(["t0"], fields)["t0"]
     assert c1 is c2 and len(c1) > 0
     assert local._term_chains(["zz9absent"], fields)["zz9absent"] == []
-    old_cap = SegmentSearcher.SEG_CACHE_ROWS
+    old_cap = SegmentSearcher.SEG_CACHE_BYTES
     try:
-        SegmentSearcher.SEG_CACHE_ROWS = 1
+        SegmentSearcher.SEG_CACHE_BYTES = 1
         local._term_chains(["t77"], fields)  # miss → insert → evict others
         local._term_chains(["t88"], fields)
         assert len(local._seg_chains) <= 2  # newest entry survives the purge
+        # the byte ledger matches the surviving entries exactly (evictions
+        # subtract the same _chain_bytes the insert charged)
+        assert local._seg_bytes == sum(
+            SegmentSearcher._chain_bytes(c) for c in local._seg_chains.values()
+        )
     finally:
-        SegmentSearcher.SEG_CACHE_ROWS = old_cap
+        SegmentSearcher.SEG_CACHE_BYTES = old_cap

@@ -298,7 +298,18 @@ def _phrase_search_local_impl(store_dir: str, terms: list[str], k: int,
     dl = first_dls[np.searchsorted(first_docs, uniq)].astype(np.float64)
     tf = tf.astype(np.float64)
     score = idf * (tf / (tf + K1 * (1.0 - B + B * dl / float(avgdl))))
-    order = np.lexsort((uniq, -score))[:k]
+    # top-k without a full lexsort: a head-head phrase at 5M docs matches
+    # ~4M docs, and lexsorting 4M rows for a top-10 cost ~0.4 s. Partition
+    # to the k-th largest score, keep everything >= it (ties inflate the
+    # slice, never drop a candidate), and lexsort only that slice — exact
+    # same (score desc, doc asc) order as the full sort.
+    m = len(score)
+    if m > max(8 * k, 65536):
+        kth = np.partition(score, m - k)[m - k]
+        sel = np.flatnonzero(score >= kth)
+        order = sel[np.lexsort((uniq[sel], -score[sel]))[:k]]
+    else:
+        order = np.lexsort((uniq, -score))[:k]
     return [(int(uniq[i]), float(score[i])) for i in order]
 
 
@@ -585,16 +596,53 @@ _PROBE_POOL = None
 
 
 def _probe_pool():
-    """Shared 4-thread pool for the bitmap probe: numpy's gather/ufunc
-    kernels release the GIL on large arrays, and the probe is memory-bound —
-    4 threads over 4M-element chunks measured 4.3× the monolithic
-    expression (0.66 s → 0.155 s on a 57M-candidate head-head probe at 1M
-    docs); 8 threads saturate bandwidth and regress."""
+    """Shared thread pool for the bitmap probe and mask compaction: numpy's
+    gather/ufunc kernels release the GIL on large arrays, and both stages
+    are memory-LATENCY-bound (random byte gathers into a bitmap bigger than
+    L3), so throughput scales with outstanding misses, i.e. threads. 4
+    threads measured 4.3× the monolithic expression on a 57M-candidate
+    head-head probe at 1M docs; at 5M docs (286M candidates, 274 MB bitmap)
+    the sweep measured 4→16 threads as a further ~1.35× on the full query
+    with no regression at 1M, and 32 as noise-dominated — so min(16, cpus)."""
     global _PROBE_POOL
     if _PROBE_POOL is None:
         from concurrent.futures import ThreadPoolExecutor
-        _PROBE_POOL = ThreadPoolExecutor(4, thread_name_prefix="phrase-probe")
+        _PROBE_POOL = ThreadPoolExecutor(min(16, os.cpu_count() or 4),
+                                         thread_name_prefix="phrase-probe")
     return _PROBE_POOL
+
+
+def _compact_masked(arrs: list, mask):
+    """[a[mask] for a in arrs], thread-parallel over disjoint chunks: numpy's
+    boolean indexing is a single-threaded pass (~340M elem/s measured — the
+    LARGEST single stage of a 5M-doc head-head phrase at 0.83 s), but
+    compaction is chunk-local given per-chunk output offsets, so count
+    (flatnonzero) per chunk, exclusive-sum the counts, then gather each
+    chunk into its output slice in parallel."""
+    import numpy as np
+
+    n = len(mask)
+    CH = 8 * 1024 * 1024
+    if n <= CH:
+        return [a[mask] for a in arrs]
+    bounds = list(range(0, n, CH)) + [n]
+    nch = len(bounds) - 1
+    idxs: list = [None] * nch
+
+    def count(i: int) -> None:
+        idxs[i] = np.flatnonzero(mask[bounds[i]:bounds[i + 1]])
+
+    list(_probe_pool().map(count, range(nch)))
+    offs = np.concatenate(([0], np.cumsum([len(ix) for ix in idxs])))
+    outs = [np.empty(int(offs[-1]), dtype=a.dtype) for a in arrs]
+
+    def gather(i: int) -> None:
+        lo, o0, o1 = bounds[i], offs[i], offs[i + 1]
+        for a, out in zip(arrs, outs):
+            np.take(a[lo:bounds[i + 1]], idxs[i], out=out[o0:o1])
+
+    list(_probe_pool().map(gather, range(nch)))
+    return outs
 
 
 def _probe_bits(cand_r, packed, shift: int, bit_lut):
@@ -660,9 +708,10 @@ def _match_rank(loaded: dict, terms: list[str], offsets):
         # the token space allows) — no int64 promotion of 10^7-10^8-element
         # temporaries; chunked + thread-parallel (see _probe_bits)
         hit = _probe_bits(cand_r, packed, i, bit_lut)
-        cand_r = cand_r[hit]
         if cand_doc is not None:
-            cand_doc = cand_doc[hit]
+            cand_r, cand_doc = _compact_masked([cand_r, cand_doc], hit)
+        else:
+            (cand_r,) = _compact_masked([cand_r], hit)
         if not len(cand_r):
             return empty, empty, sdocs, dls
     if cand_doc is None:

@@ -71,6 +71,26 @@ def _default_decode_cache_postings() -> int:
     return min(max(16_000_000, ram // 20 // 24), 512_000_000)
 
 
+def _default_seg_cache_bytes() -> int:
+    """Default per-term chain-cache bound (SegmentSearcher._seg_chains),
+    charged in ACTUAL resident bytes — compressed postings + block-metadata
+    row overhead. RAM-derived like the decode cache: ~3% of physical RAM,
+    floored at 256 MB, capped at 8 GB. The round-6 motivation is a wide-OR
+    working set: a 58-term fuzzy expansion on a 5M-doc store carries ~720k
+    block rows / ~0.5 GB of chains — over the old fixed 500k-ROW budget, so
+    the LRU swept 100% cold on every warm query and each query re-paid the
+    Arrow read + groupby + _BlockList builds (~2.5 s/query, measured).
+    Override: UCUDDLE_SEG_CACHE_BYTES env var."""
+    env = os.environ.get("UCUDDLE_SEG_CACHE_BYTES")
+    if env:
+        return max(1, int(env))
+    try:
+        ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return 256 << 20
+    return min(max(256 << 20, ram // 32), 8 << 30)
+
+
 class DecodeCache:
     """Serving-tier cache of DECODED posting blocks — the page-cache analogue
     every on-disk engine keeps: a static store's block bytes decode to the
@@ -1202,7 +1222,8 @@ class SegmentSearcher:
         import collections
 
         self._seg_chains: "collections.OrderedDict[str, list]" = collections.OrderedDict()
-        self._seg_rows = 0
+        self._seg_bytes = 0
+        self._seg_costs: dict[str, int] = {}
 
     def prepare(self) -> "SegmentSearcher":
         """Collect the term-stats dictionary once (one job) so every query
@@ -1450,7 +1471,8 @@ class SegmentSearcher:
         import collections
 
         obj._seg_chains = collections.OrderedDict()
-        obj._seg_rows = 0
+        obj._seg_bytes = 0
+        obj._seg_costs = {}
         # same startup pre-touch as the Spark-backed constructor (this path
         # skips __init__): pay the ~5.4 s/GB fault cost at open, off the
         # query path. Async — join via warm() before taking traffic.
@@ -1690,12 +1712,25 @@ class SegmentSearcher:
         tops.sort(key=lambda x: (-x[1], x[0]))
         return tops[offset:offset + k]
 
-    # per-term segment-metadata chain cache budget (block rows). Entries hold
-    # block METADATA + varbyte bytes refs — ~0.3 KB/row plus the term's
-    # compressed postings (~2-3 B/posting); 500k rows ≈ a dozen 5M-df head
-    # terms. Bounded LRU like the tstats memo: serving-tier RAM stays fixed
-    # at ANY vocabulary size.
-    SEG_CACHE_ROWS = 500_000
+    # per-term segment-metadata chain cache budget, charged in ACTUAL bytes
+    # (compressed postings + ~200 B/row metadata/object overhead — pandas
+    # frame columns, the bytes objects' headers, and the memoized _BlockList
+    # view's numpy metadata arrays). Bounded LRU like the tstats memo:
+    # serving-tier RAM stays fixed at ANY vocabulary size, but the budget is
+    # RAM-derived so a wide-OR working set (fuzzy expansion) stays resident
+    # on a serving box instead of sweeping the LRU cold every query.
+    SEG_CACHE_BYTES = _default_seg_cache_bytes()
+    _SEG_ROW_OVERHEAD = 200
+
+    @classmethod
+    def _chain_bytes(cls, chains: list) -> int:
+        """Resident-byte charge for one term's cached chain list."""
+        total = 0
+        for _, _, _, g, _, _ in chains:
+            total += cls._SEG_ROW_OVERHEAD * len(g)
+            for col in ("doc_bytes", "tf_bytes", "dl_bytes"):
+                total += int(g[col].map(len).sum())
+        return total
 
     def _term_chains(self, terms: list[str], fields: list[int]) -> dict:
         """term → [(shard, unit|None, field, chain-frame, n_postings)] from
@@ -1740,15 +1775,17 @@ class SegmentSearcher:
                 # search_local) — rides the cache entry so view and frame
                 # evict together
                 built[t].append((int(sh), u, int(f), g, int(g["n"].sum()), []))
+        costs = {t: self._chain_bytes(chains) for t, chains in built.items()}
         with self._memo_lock:
             for t, chains in built.items():
                 if t not in self._seg_chains:
                     self._seg_chains[t] = chains
-                    self._seg_rows += sum(len(g) for _, _, _, g, _, _ in chains)
+                    self._seg_costs[t] = costs[t]
+                    self._seg_bytes += costs[t]
                 out[t] = self._seg_chains[t]
-            while self._seg_rows > self.SEG_CACHE_ROWS and len(self._seg_chains) > 1:
-                _, old = self._seg_chains.popitem(last=False)
-                self._seg_rows -= sum(len(g) for _, _, _, g, _, _ in old)
+            while self._seg_bytes > self.SEG_CACHE_BYTES and len(self._seg_chains) > 1:
+                old_t, _ = self._seg_chains.popitem(last=False)
+                self._seg_bytes -= self._seg_costs.pop(old_t)
         return out
 
     def _scoring_pool(self):
