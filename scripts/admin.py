@@ -34,7 +34,8 @@ from ucuddle_search_engine_spark.session import get_spark
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["describe", "last-id", "search", "delete-docs", "drop",
-                                    "alter", "merge", "since", "add-docs"])
+                                    "alter", "merge", "since", "add-docs",
+                                    "upgrade-layout"])
     ap.add_argument("--from", dest="from_corpus",
                     help="corpus parquet (repo,path,commit,lang,content) for `add-docs`")
     ap.add_argument("--index", required=True)
@@ -71,6 +72,21 @@ def main() -> None:
         return
 
     spark = get_spark("admin")
+
+    if args.cmd == "upgrade-layout":
+        # force-merge/reindex analogue: tstats prefilter columns + term-major
+        # small-row-group segments/postings for stores built before either
+        from ucuddle_search_engine_spark.plans.build_index import (
+            upgrade_segments_layout,
+            upgrade_tstats,
+        )
+
+        t = upgrade_tstats(spark, args.index)
+        n = upgrade_segments_layout(spark, args.index)
+        print(f"tstats {'rewritten' if t else 'already current'}; "
+              f"{n} segment/postings unit(s) rewritten")
+        return
+
     docs = spark.read.parquet(f"{args.index}/docs")
 
     if args.cmd == "describe":  # getIndexMapping (elastic_settings.go:94-101)

@@ -392,6 +392,22 @@ def test_get_scored_many_bit_identical(segments):
         assert np.array_equal(wd, gd) and np.array_equal(wc, gc)
     assert cold._n <= cold.max_postings
 
+    # forced multi-part fan-out (the 5M cold-fill path: parts decode on
+    # their own threads) is bit-identical to the single-part pass — chains
+    # are independent streams and the scoring broadcast is elementwise
+    part = DecodeCache()
+    old_min, old_max = DecodeCache.GSM_PART_MIN_BLOCKS, DecodeCache.GSM_MAX_PARTS
+    try:
+        DecodeCache.GSM_PART_MIN_BLOCKS, DecodeCache.GSM_MAX_PARTS = 1, 3
+        got_part = part.get_scored_many(list(chains))
+    finally:
+        DecodeCache.GSM_PART_MIN_BLOCKS, DecodeCache.GSM_MAX_PARTS = old_min, old_max
+    for (wd, wc), (gd, gc) in zip(want, got_part):
+        assert np.array_equal(wd, gd) and np.array_equal(wc, gc)
+    # memo populated by the parts, same keys as the serial path
+    assert part.get_scored_many(list(chains)) is not None
+    assert {k[1] for k in part._d} == {"__scored__"}
+
 
 def test_decode_cache_default_cap_ram_derived(monkeypatch):
     """The default DecodeCache bound scales with the box's physical RAM

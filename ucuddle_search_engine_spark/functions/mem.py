@@ -120,7 +120,14 @@ def _arena_free_bytes() -> int | None:
         if not hasattr(libc, "mallinfo2"):
             return None
         libc.mallinfo2.restype = _MI2
-        return int(libc.mallinfo2().fordblks)
+        mi = libc.mallinfo2()
+        # fordblks counts free chunks but NOT the top-of-heap chunk
+        # (keepcost) — and with trim disabled the arena a startup_warm just
+        # touched-and-freed sits ENTIRELY at the heap top, so fordblks alone
+        # reported ~0 free right after a 16 GB pre-touch and every first
+        # query re-touched its whole estimate (hot pages, so cheap — but a
+        # wasted pass and a dishonest contract)
+        return int(mi.fordblks) + int(mi.keepcost)
     except Exception:
         return None
 

@@ -208,7 +208,17 @@ class DecodeCache:
         overhead (bytes.join / fromiter / flag-bit nonzero per call) was
         GIL-held — 14 s serial OR parallel; batching drops it to 3 calls per
         scoring group. Per-chain cache entries are sliced out as copies so
-        eviction frees real memory (same contract as get_many)."""
+        eviction frees real memory (same contract as get_many).
+
+        Big miss sets additionally split into up to GSM_MAX_PARTS
+        block-balanced parts decoded on their own threads: chains are
+        independent byte streams and the per-chain scoring broadcast is
+        elementwise, so the partition leaves every array bit-identical while
+        the numpy kernels (which release the GIL) overlap — measured 7.4 s →
+        ~2.5 s on a 65M-posting cold fuzzy fill at 5M docs. Plain threads,
+        not a pool: parts must never queue behind another caller's parts (or
+        deadlock behind this method's own stream-overlap submissions to
+        _gsm_pool on the single-part path)."""
         out: list = [None] * len(entries)
         miss: list[int] = []
         for i, e in enumerate(entries):
@@ -220,6 +230,47 @@ class DecodeCache:
                 miss.append(i)
         if not miss:
             return out
+        total_blocks = sum(len(entries[i][3]) for i in miss)
+        nparts = min(self.GSM_MAX_PARTS,
+                     max(1, total_blocks // self.GSM_PART_MIN_BLOCKS))
+        if nparts > 1:
+            # greedy balance by block count (chain sizes are zipf-skewed)
+            order = sorted(miss, key=lambda i: -len(entries[i][3]))
+            parts: list[list[int]] = [[] for _ in range(nparts)]
+            loads = [0] * nparts
+            for i in order:
+                p = loads.index(min(loads))
+                parts[p].append(i)
+                loads[p] += len(entries[i][3])
+            import threading
+
+            ts = [threading.Thread(target=self._score_miss_part,
+                                   args=(entries, part, out))
+                  for part in parts[1:] if part]
+            for t in ts:
+                t.start()
+            self._score_miss_part(entries, parts[0], out)
+            for t in ts:
+                t.join()
+            return out
+        self._score_miss_part(entries, miss, out, overlap=True)
+        return out
+
+    #: cap on concurrent decode parts — beyond ~6 the allocator (single
+    #: glibc arena, see mem.enable_heap_reuse) and memory bandwidth saturate
+    GSM_MAX_PARTS = 6
+    #: minimum blocks (~128 postings each) per part — below ~2M postings a
+    #: part's thread + join overhead outweighs the overlap
+    GSM_PART_MIN_BLOCKS = 16384
+
+    def _score_miss_part(self, entries: list, miss: list[int], out: list,
+                         overlap: bool = False) -> None:
+        """Decode + score one part of a get_scored_many miss set into `out`
+        (disjoint indices per part — no synchronization needed on the list;
+        cache puts take the instance lock). With overlap=True the three
+        streams fan out on _gsm_pool (single-part path only)."""
+        if not miss:
+            return
         doc_bufs: list = []
         tf_bufs: list = []
         dl_bufs: list = []
@@ -230,15 +281,22 @@ class DecodeCache:
             tf_bufs.extend(tb)
             dl_bufs.extend(lb)
             nblocks[j] = len(db)
-        # the three streams decode independently — overlap them on a small
-        # dedicated pool (the numpy kernels inside release the GIL; the
-        # byte-joins interleave). Dedicated so a scoring-pool caller can
-        # never deadlock against its own pool.
-        fd = _gsm_pool().submit(decode_doc_ids_concat, doc_bufs)
-        ft = _gsm_pool().submit(vb_decode_concat, tf_bufs)
-        dls_all = vb_decode_concat(dl_bufs)[0].astype(np.float64)
-        docs_all, cnt_blk = fd.result()
-        tfs_all = ft.result()[0].astype(np.float64)
+        if overlap:
+            # the three streams decode independently — overlap them on a
+            # small dedicated pool (the numpy kernels inside release the
+            # GIL; the byte-joins interleave). Dedicated so a scoring-pool
+            # caller can never deadlock against its own pool.
+            fd = _gsm_pool().submit(decode_doc_ids_concat, doc_bufs)
+            ft = _gsm_pool().submit(vb_decode_concat, tf_bufs)
+            dls_all = vb_decode_concat(dl_bufs)[0].astype(np.float64)
+            docs_all, cnt_blk = fd.result()
+            tfs_all = ft.result()[0].astype(np.float64)
+        else:
+            # multi-part caller: parts already overlap each other — inline
+            # streams keep thread count at nparts, not 3×nparts
+            docs_all, cnt_blk = decode_doc_ids_concat(doc_bufs)
+            tfs_all = vb_decode_concat(tf_bufs)[0].astype(np.float64)
+            dls_all = vb_decode_concat(dl_bufs)[0].astype(np.float64)
         # per-chain posting counts from per-BLOCK counts (zero-block chains
         # included): chain j covers blocks [bo[j], bo[j+1])
         bo = np.concatenate(([0], np.cumsum(nblocks)))
@@ -256,7 +314,6 @@ class DecodeCache:
             self._put((e[0], "__scored__", float(e[1]), float(e[2])),
                       (docs, contrib, None))
             out[i] = (docs, contrib)
-        return out
 
     def get_many(self, ckey: tuple, ordinals, doc_bytes, tf_bytes, dl_bytes):
         """(docs, tfs, dls) concatenated over `ordinals` (block ids within one

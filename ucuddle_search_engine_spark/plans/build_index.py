@@ -49,6 +49,10 @@ from ..operators.wand import SegmentSearcher
 
 
 TERM_BUCKETS = 64  # segment-store partition fan-out per unit (directory pruning)
+#: parquet row-group target for segments/postings writes: ~1 MiB keeps each
+#: term's rows in a skippable run (row-group min/max pruning actually fires)
+#: while staying far above the footer-overhead floor for full scans
+SEG_ROW_GROUP_BYTES = 1 << 20
 
 # --- auto shard count ----------------------------------------------------
 # The reference pins 3 primary shards (ES number_of_shards,
@@ -102,7 +106,7 @@ def write_tstats(tstats: DataFrame, out_dir: str) -> None:
         .withColumn("tlen", F.length("term"))
         .withColumn("bagsig", bag_signature_col(F.col("term")))
         .repartition("tb")
-        .sortWithinPartitions("term", "field")
+        .sortWithinPartitions("tb", "term", "field")
         .write.mode("overwrite")
         .partitionBy("tb")
         .parquet(os.path.join(out_dir, "tstats"))
@@ -135,7 +139,7 @@ def upgrade_tstats(spark: SparkSession, store_dir: str) -> bool:
         .withColumn("tlen", F.length("term"))
         .withColumn("bagsig", bag_signature_col(F.col("term")))
         .repartition("tb")
-        .sortWithinPartitions("term", "field")
+        .sortWithinPartitions("tb", "term", "field")
         .write.mode("overwrite")
         .partitionBy("tb")
         .parquet(tmp)
@@ -146,6 +150,67 @@ def upgrade_tstats(spark: SparkSession, store_dir: str) -> bool:
     os.rename(tmp, path)
     shutil.rmtree(old)
     return True
+
+
+def upgrade_segments_layout(spark: SparkSession, store_dir: str,
+                            force: bool = False) -> int:
+    """Rewrite a written store's segments (and positional sidecar) into the
+    term-major / small-row-group layout in place — the ES force-merge /
+    reindex admin analogue for stores built before SEG_ROW_GROUP_BYTES
+    existed, whose shard-major single-row-group files defeat term pruning
+    (see the build-time write comment). Content is untouched: the same block
+    rows, re-sorted and re-chunked; rankings are physical-order-independent.
+    Returns the number of unit directories rewritten. Idempotent: a unit
+    whose first data file already has >1 row group (or is term-major tiny)
+    is skipped unless force=True. Per-unit write-to-sibling + rename, so a
+    crash leaves every unit either old-layout or new-layout, never half."""
+    import glob as _glob
+    import shutil
+
+    def _needs_upgrade(unit_path: str) -> bool:
+        import pyarrow.parquet as pq
+
+        files = sorted(_glob.glob(os.path.join(unit_path, "tb=*", "*.parquet")))
+        if not files:
+            return False
+        md = pq.ParquetFile(files[0]).metadata
+        return md.num_row_groups == 1 and \
+            md.row_group(0).total_byte_size > 4 * SEG_ROW_GROUP_BYTES
+
+    done = 0
+    # tb leads each sort: the writer requires a per-task sort on its
+    # partition columns, and Catalyst's EliminateSorts would otherwise drop
+    # the inner term sort and re-sort by tb alone (observed: term runs
+    # scattered again)
+    for rel, sort_cols in (("segments", ["tb", "term", "field", "shard", "block_no"]),
+                           ("postings", ["tb", "term", "doc_id"])):
+        root = os.path.join(store_dir, rel)
+        if not os.path.isdir(root):
+            continue
+        for unit in sorted(os.listdir(root)):
+            unit_path = os.path.join(root, unit)
+            if not (unit.startswith("unit=") and os.path.isdir(unit_path)):
+                continue
+            if not force and not _needs_upgrade(unit_path):
+                continue
+            tmp = unit_path + ".upgrade"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                spark.read.parquet(unit_path)
+                .repartition("tb")
+                .sortWithinPartitions(*sort_cols)
+                .write.mode("overwrite")
+                .option("parquet.block.size", SEG_ROW_GROUP_BYTES)
+                .partitionBy("tb")
+                .parquet(tmp)
+            )
+            old = unit_path + ".pre_upgrade"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(unit_path, old)
+            os.rename(tmp, unit_path)
+            shutil.rmtree(old)
+            done += 1
+    return done
 
 
 def _unit_col(n_units: int):
@@ -318,12 +383,22 @@ def build_index_resumable(
         docs_u.write.mode("overwrite").parquet(docs_path)
         # layout-as-pushdown, two levels: tb = md5-hash bucket of the term as a
         # PARTITION column (directory pruning: a query term touches 1/TERM_BUCKETS
-        # of the files) + term-sorted rows inside files (row-group min/max pruning)
+        # of the files) + TERM-MAJOR sorted rows in SMALL row groups. Both
+        # halves matter: the original shard-major sort spread every term
+        # across the whole file and Spark's default 128 MB parquet block made
+        # each file ONE row group, so the term min/max stats spanned the full
+        # bucket and a serving-tier chain read decompressed the entire bucket
+        # for any term in it (a 58-term fuzzy expansion at 5M docs read ~5 GB
+        # to extract 317 MB of chains). Term-major + ~1 MiB row groups give
+        # each term a contiguous row-group run that pyarrow's stats pruning
+        # actually skips to — the same treatment tstats got in round 4
+        # (BENCH/vocab_lookup.json).
         (
             segs.withColumn("tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int"))
             .repartition("tb")
-            .sortWithinPartitions("shard", "term", "field", "block_no")
+            .sortWithinPartitions("tb", "term", "field", "shard", "block_no")
             .write.mode("overwrite")
+            .option("parquet.block.size", SEG_ROW_GROUP_BYTES)
             .partitionBy("tb")
             .parquet(seg_path)
         )
@@ -338,8 +413,11 @@ def build_index_resumable(
                     "tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int")
                 )
                 .repartition("tb")
-                .sortWithinPartitions("term", "doc_id")
+                .sortWithinPartitions("tb", "term", "doc_id")
                 .write.mode("overwrite")
+                # small row groups for the same reason as segments: the
+                # phrase/highlight sidecar reads are term-pruned point scans
+                .option("parquet.block.size", SEG_ROW_GROUP_BYTES)
                 .partitionBy("tb")
                 .parquet(os.path.join(out_dir, f"postings/unit={pid}"))
             )

@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_prefix_long
 from ..operators.ids import assign_doc_ids_prefix
 from ..operators.segments import build_segments
-from .build_index import TERM_BUCKETS, _global_field_stats, load_analyzer, write_tstats
+from .build_index import (
+    SEG_ROW_GROUP_BYTES,
+    TERM_BUCKETS,
+    _global_field_stats,
+    load_analyzer,
+    write_tstats,
+)
 
 
 def decode_store_postings(segments: DataFrame) -> DataFrame:
@@ -175,8 +181,9 @@ def merge_many(spark: SparkSession, stores: list[str], out_dir: str,
     (
         segs_out.withColumn("tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int"))
         .repartition("tb")
-        .sortWithinPartitions("shard", "term", "field", "block_no")
+        .sortWithinPartitions("tb", "term", "field", "shard", "block_no")
         .write.mode("overwrite")
+        .option("parquet.block.size", SEG_ROW_GROUP_BYTES)
         .partitionBy("tb")
         .parquet(os.path.join(out_dir, "segments/unit=0"))
     )
@@ -203,8 +210,9 @@ def merge_many(spark: SparkSession, stores: list[str], out_dir: str,
                 "tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int")
             )
             .repartition("tb")
-            .sortWithinPartitions("term", "doc_id")
+            .sortWithinPartitions("tb", "term", "doc_id")
             .write.mode("overwrite")
+            .option("parquet.block.size", SEG_ROW_GROUP_BYTES)
             .partitionBy("tb")
             .parquet(os.path.join(out_dir, "postings/unit=0"))
         )

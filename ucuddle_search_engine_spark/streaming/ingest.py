@@ -110,7 +110,7 @@ def compact_to_store(
     import json
     import os
 
-    from ..plans.build_index import TERM_BUCKETS, write_tstats
+    from ..plans.build_index import SEG_ROW_GROUP_BYTES, TERM_BUCKETS, write_tstats
 
     os.makedirs(out_dir, exist_ok=True)
     segs = compact_streamed_postings(
@@ -119,8 +119,9 @@ def compact_to_store(
     (
         segs.withColumn("tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int"))
         .repartition("tb")
-        .sortWithinPartitions("shard", "term", "field", "block_no")
+        .sortWithinPartitions("tb", "term", "field", "shard", "block_no")
         .write.mode("overwrite")
+        .option("parquet.block.size", SEG_ROW_GROUP_BYTES)
         .partitionBy("tb")
         .parquet(os.path.join(out_dir, "segments/unit=0"))
     )
