@@ -31,7 +31,10 @@ from urllib.parse import parse_qs, urlparse
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from ucuddle_search_engine_spark.operators.wand import SegmentSearcher  # noqa: E402
+from ucuddle_search_engine_spark.operators.wand import (  # noqa: E402
+    SegmentSearcher,
+    pa_points_filter,
+)
 
 
 def _load_analyzer_py(store_dir: str):
@@ -205,7 +208,7 @@ class SearchApp:
         with self._lock:
             missing = [c for c in firsts if c not in view.vocab_buckets]
             if missing:
-                tt = ds.to_table(filter=pds.field("p1").isin(missing),
+                tt = ds.to_table(filter=pa_points_filter("p1", missing),
                                  columns=["term", "df", "p1"])
                 got = {c: {} for c in missing}
                 for t, d, c in zip(tt["term"].to_pylist(), tt["df"].to_pylist(),
@@ -421,7 +424,7 @@ class SearchApp:
         want_snippets = highlight and os.path.isdir(os.path.join(self.store_dir, "postings"))
         cols = ["doc_id", "title", "repo", "path"] + (["content"] if want_snippets else [])
         tbl = view.searcher._dataset("docs").to_table(
-            filter=pds.field("doc_id").isin(ids), columns=cols,
+            filter=pa_points_filter("doc_id", ids), columns=cols,
         )
         meta = {row["doc_id"]: row for row in tbl.to_pylist()}
         snippets: dict[int, str] = {}
@@ -432,7 +435,7 @@ class SearchApp:
             from ucuddle_search_engine_spark.operators.highlight import _snippet
 
             pt_ds = view.searcher._dataset("postings")  # memoized, per view
-            flt = (pds.field("term").isin(terms) & pds.field("doc_id").isin(ids)
+            flt = (pa_points_filter("term", terms) & pa_points_filter("doc_id", ids)
                    & (pds.field("field") == 0))
             if "tb" in pt_ds.schema.names:
                 # round-4 sidecars carry the term-bucket partition — prune to

@@ -191,12 +191,72 @@ def bench_routed(spark, n_docs: int) -> dict | None:
     return timed(run)
 
 
+def _merge_runs(runs: list[dict]) -> dict:
+    """Elementwise median across independent runs of one store size, plus
+    the cross-run [min, max] of each class's warm_median_ms. This box takes
+    intermittent multi-hundred-ms compaction/steal stalls (kcompactd has
+    hours of CPU time) that blow a DIFFERENT class each run — a single
+    cold+7-warm pass cannot average them out, but the per-class median over
+    fresh-process runs does, and the spread shows exactly which classes the
+    noise hit."""
+    out: dict = {}
+    for key in runs[0]:
+        vals = [r[key] for r in runs if key in r]
+        if isinstance(vals[0], dict):
+            out[key] = {s: round(statistics.median(v[s] for v in vals), 1)
+                        for s in vals[0]}
+            wm = [v["warm_median_ms"] for v in vals]
+            out[key]["runs_warm_median_spread"] = [min(wm), max(wm)]
+        else:
+            out[key] = round(statistics.median(vals), 1)
+    return out
+
+
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [1_000_000]
+    import os
+    import subprocess
+    import tempfile
+
+    args = sys.argv[1:]
+    n_runs = 1
+    out_path = None
+    if "--runs" in args:
+        i = args.index("--runs")
+        n_runs = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sizes = [int(a) for a in args] or [1_000_000]
+
+    if n_runs > 1:
+        # fresh process per run: arena/cache state is ordering-dependent
+        # within a process, so each repeat must start from the same state
+        per_run: list[dict] = []
+        for r in range(n_runs):
+            with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+                tmp = tf.name
+            subprocess.run(
+                [sys.executable, __file__, *[str(s) for s in sizes], "--out", tmp],
+                check=True,
+            )
+            per_run.append(json.loads(Path(tmp).read_text()))
+            os.unlink(tmp)
+            print(f"run {r + 1}/{n_runs} done", flush=True)
+        merged = {str(n): _merge_runs([p[str(n)] for p in per_run]) for n in sizes}
+        path = "/root/repo/BENCH/query_classes.json"
+        prev = json.loads(Path(path).read_text()) if Path(path).exists() else {}
+        prev.setdefault("sizes", {}).update(merged)
+        prev["n_warm"] = N_WARM
+        prev["n_runs"] = n_runs
+        with open(path, "w") as f:
+            json.dump(prev, f, indent=2)
+        print(json.dumps(prev))
+        return
+
     # the 5M-doc distributed phrase join OOMs an 8g heap (one observed task
     # failure); this box has 128 GiB — give the bench JVM real headroom
-    import os
-
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark("bench_query_classes", cores=32, shuffle_partitions=32)
     out: dict = {"n_warm": N_WARM, "sizes": {}}
@@ -207,6 +267,10 @@ def main() -> None:
             row["routed_ru"] = routed
         out["sizes"][str(n)] = row
         print(json.dumps({str(n): row}), flush=True)
+    if out_path is not None:
+        with open(out_path, "w") as f:
+            json.dump(out["sizes"], f)
+        return
     path = "/root/repo/BENCH/query_classes.json"
     prev = {}
     if Path(path).exists():

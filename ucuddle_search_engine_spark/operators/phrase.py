@@ -395,7 +395,13 @@ def _load_entries(root: str, terms: list[str], field: int, cache,
         mem.retain_arrow_memory()
         arena = mem.prefault_async(max(total * 4, 512 << 20))
         d = pds.dataset(root, format="parquet", partitioning="hive")
-        flt = pds.field("term").isin(need) & (pds.field("field") == field)
+        # OR-of-equalities, not isin: parquet row-group stats pruning skips
+        # to each term's contiguous run only for ==/OR guarantees (see
+        # wand.pa_points_filter) — on the term-major sidecar this is the
+        # difference between reading the phrase terms and the whole bucket
+        from .wand import pa_points_filter
+
+        flt = pa_points_filter("term", need) & (pds.field("field") == field)
         if "tb" in d.schema.names:
             flt = flt & pds.field("tb").isin(term_buckets(need))
         tab = d.to_table(filter=flt,

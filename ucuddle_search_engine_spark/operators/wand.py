@@ -42,6 +42,32 @@ UB_EPS = 1e-9
 _GSM_POOL = None
 
 
+#: above this many values, pa_points_filter falls back to isin — a huge OR
+#: expression costs more to build/evaluate per row group than the residual
+#: pruning it buys (a full-vocabulary fuzzy expansion scans its buckets anyway)
+_POINTS_OR_CAP = 512
+
+
+def pa_points_filter(col: str, values):
+    """Equality-set dataset filter `col ∈ values`, built as an OR of ==
+    comparisons. Semantically identical to pds.field(col).isin(values), but
+    parquet row-group statistics pruning evaluates ==/OR guarantees and NOT
+    isin (measured on a term-major 5M-doc store: a 58-term isin kept 31/31
+    row groups per file — a full-bucket decompress, 17.6 s — while the same
+    58 terms as an OR kept 4/31), so the OR form turns wide point-lookup
+    reads from bucket-sized to value-sized. Partition-column (directory)
+    pruning handles isin fine — this matters for ROW-GROUP stats only."""
+    import functools
+    import operator
+
+    import pyarrow.dataset as pds
+
+    vals = sorted(set(values))
+    if not vals or len(vals) > _POINTS_OR_CAP:
+        return pds.field(col).isin(vals)
+    return functools.reduce(operator.or_, (pds.field(col) == v for v in vals))
+
+
 def _gsm_pool():
     """2-thread helper pool for get_scored_many's independent stream decodes
     (docs/tfs run here, dls on the caller thread)."""
@@ -388,26 +414,34 @@ class _PList:
 
     __slots__ = ("docs", "tfs", "dls", "weight_idf", "avgdl", "block_ends", "block_ubs", "cur", "ub")
 
-    def __init__(self, blocks: pd.DataFrame, weight_idf: float, avgdl: float,
+    def __init__(self, blocks, weight_idf: float, avgdl: float,
                  dead: np.ndarray | None = None,
                  cache: "DecodeCache | None" = None, ckey: tuple | None = None):
-        blocks = blocks.sort_values("block_no")
+        if isinstance(blocks, _ChainCols):  # already block_no-sorted
+            doc_b, tf_b, dl_b = blocks.doc_bytes, blocks.tf_bytes, blocks.dl_bytes
+            ns = blocks.ns
+            ubs = blocks.max_impact * weight_idf * (1.0 + UB_EPS)
+        else:
+            blocks = blocks.sort_values("block_no")
+            doc_b = list(blocks["doc_bytes"])
+            tf_b = list(blocks["tf_bytes"])
+            dl_b = list(blocks["dl_bytes"])
+            ns = blocks["n"].to_numpy(np.int64)
+            ubs = blocks["max_impact"].to_numpy(np.float64) * weight_idf * (1.0 + UB_EPS)
         if cache is not None:
             self.docs, self.tfs, self.dls = cache.get_many(
-                ckey, range(len(blocks)), list(blocks["doc_bytes"]),
-                list(blocks["tf_bytes"]), list(blocks["dl_bytes"]),
+                ckey, range(len(ns)), doc_b, tf_b, dl_b,
             )
         else:
             # one vectorized decode pass over ALL the chain's blocks (a Python
             # decode call per block dominated latency at 10⁴+ blocks per query)
-            self.docs = decode_doc_ids_concat(list(blocks["doc_bytes"]))[0].astype(np.int64)
-            self.tfs = vb_decode_concat(list(blocks["tf_bytes"]))[0].astype(np.int64)
-            self.dls = vb_decode_concat(list(blocks["dl_bytes"]))[0].astype(np.int64)
+            self.docs = decode_doc_ids_concat(doc_b)[0].astype(np.int64)
+            self.tfs = vb_decode_concat(tf_b)[0].astype(np.int64)
+            self.dls = vb_decode_concat(dl_b)[0].astype(np.int64)
         self.weight_idf = weight_idf
         self.avgdl = avgdl
-        ns = blocks["n"].to_numpy(np.int64)
         self.block_ends = np.cumsum(ns) - 1  # index of last posting per block
-        self.block_ubs = blocks["max_impact"].to_numpy(np.float64) * weight_idf * (1.0 + UB_EPS)
+        self.block_ubs = ubs
         if dead is not None and len(dead) and len(self.docs):
             # Tombstones (ES soft-delete until merge): drop dead postings BEFORE
             # any top-k cut; block upper bounds over the superset stay valid.
@@ -523,6 +557,36 @@ def _wand_or(lists: list[_PList], k: int) -> list[tuple[int, float]]:
     return sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))[:k]
 
 
+class _ChainCols:
+    """One (shard[, unit], field) slice of a term's posting chain as plain
+    numpy/list columns, PRE-SORTED by block_no — the serving tier's
+    pandas-free chain frame. _term_chains builds these straight from the
+    Arrow table (one lexsort + boundary slicing, C-side throughout): the
+    pandas groupby-iterate it replaces was ~2/3 of a 5M-doc cold wide-OR
+    fill — 6.5 s of groupby iteration, 2.9 s of per-chain frame ops and
+    3.5 s of Series.map byte accounting across 4640 chains (profiled on a
+    58-term fuzzy expansion) — while the actual varbyte decode was 2 s.
+    nbytes carries the chain's resident-byte charge (compressed postings +
+    per-row overhead), precomputed vectorized at build."""
+
+    __slots__ = ("ns", "max_impact", "min_doc", "max_doc",
+                 "doc_bytes", "tf_bytes", "dl_bytes", "nbytes")
+
+    def __init__(self, ns, max_impact, min_doc, max_doc,
+                 doc_bytes, tf_bytes, dl_bytes, nbytes: int):
+        self.ns = ns
+        self.max_impact = max_impact
+        self.min_doc = min_doc
+        self.max_doc = max_doc
+        self.doc_bytes = doc_bytes
+        self.tf_bytes = tf_bytes
+        self.dl_bytes = dl_bytes
+        self.nbytes = nbytes
+
+    def __len__(self) -> int:
+        return len(self.ns)
+
+
 class _BlockList:
     """Lazy per-block view of one (term, field[, unit]) posting chain: block
     metadata (ub, doc range) without decoding — decode happens per selected
@@ -536,20 +600,31 @@ class _BlockList:
     # through the full-chain cache + run-gather instead of per-block entries
     FULL_FRAC = 0.5
 
-    def __init__(self, blocks: pd.DataFrame, weight_idf: float, avgdl: float,
+    def __init__(self, blocks, weight_idf: float, avgdl: float,
                  cache: "DecodeCache | None" = None, ckey: tuple | None = None):
         self._cache = cache
         self._ckey = ckey
-        blocks = blocks.sort_values("block_no")  # doc-ordered, disjoint ranges
-        self.ubs = blocks["max_impact"].to_numpy(np.float64) * weight_idf * (1.0 + UB_EPS)
-        self.min_docs = blocks["min_doc"].to_numpy(np.int64)
-        self.max_docs = blocks["max_doc"].to_numpy(np.int64)
-        self.ns = blocks["n"].to_numpy(np.int64)
+        if isinstance(blocks, _ChainCols):
+            # already block_no-sorted; float op order identical to the
+            # pandas branch (max_impact f64 * weight_idf * (1+eps))
+            self.ubs = blocks.max_impact * weight_idf * (1.0 + UB_EPS)
+            self.min_docs = blocks.min_doc
+            self.max_docs = blocks.max_doc
+            self.ns = blocks.ns
+            self.doc_bytes = blocks.doc_bytes
+            self.tf_bytes = blocks.tf_bytes
+            self.dl_bytes = blocks.dl_bytes
+        else:
+            blocks = blocks.sort_values("block_no")  # doc-ordered, disjoint ranges
+            self.ubs = blocks["max_impact"].to_numpy(np.float64) * weight_idf * (1.0 + UB_EPS)
+            self.min_docs = blocks["min_doc"].to_numpy(np.int64)
+            self.max_docs = blocks["max_doc"].to_numpy(np.int64)
+            self.ns = blocks["n"].to_numpy(np.int64)
+            self.doc_bytes = list(blocks["doc_bytes"])
+            self.tf_bytes = list(blocks["tf_bytes"])
+            self.dl_bytes = list(blocks["dl_bytes"])
         self.weight_idf = weight_idf
         self.avgdl = avgdl
-        self.doc_bytes = list(blocks["doc_bytes"])
-        self.tf_bytes = list(blocks["tf_bytes"])
-        self.dl_bytes = list(blocks["dl_bytes"])
         self._sparse = None  # lazy range-max sparse table (range_max_ub_vec)
         self._starts = None  # lazy posting offsets per block (full-chain gather)
         # Defensive (mirrors _PList): block_no order must be doc order with
@@ -1374,7 +1449,7 @@ class SegmentSearcher:
         from ..functions.hashing import term_buckets
 
         ds = self._dataset("tstats")
-        flt = pds.field("term").isin(missing) & pds.field("field").isin(sorted(fields))
+        flt = pa_points_filter("term", missing) & pds.field("field").isin(sorted(fields))
         if "tb" in ds.schema.names:
             flt = flt & pds.field("tb").isin(term_buckets(missing))
         tt = ds.to_table(filter=flt, columns=["term", "field", "df"])
@@ -1784,6 +1859,9 @@ class SegmentSearcher:
         """Resident-byte charge for one term's cached chain list."""
         total = 0
         for _, _, _, g, _, _ in chains:
+            if isinstance(g, _ChainCols):
+                total += g.nbytes  # precomputed vectorized at build
+                continue
             total += cls._SEG_ROW_OVERHEAD * len(g)
             for col in ("doc_bytes", "tf_bytes", "dl_bytes"):
                 total += int(g[col].map(len).sum())
@@ -1813,25 +1891,68 @@ class SegmentSearcher:
         if not missing:
             return out
         data = self._dataset("segments")
-        flt = pds.field("term").isin(missing) & pds.field("field").isin(fields)
+        flt = pa_points_filter("term", missing) & pds.field("field").isin(fields)
         if "tb" in data.schema.names:
             flt = flt & pds.field("tb").isin(term_buckets(missing))
-        pdf = data.to_table(filter=flt).to_pandas()
+        tab = data.to_table(filter=flt)
         built: dict[str, list] = {t: [] for t in missing}
-        if len(pdf):
-            has_unit = "unit" in pdf.columns
-            gcols = ["term", "shard", "unit", "field"] if has_unit else ["term", "shard", "field"]
-            for gkey, g in pdf.groupby(gcols, sort=False):
-                if has_unit:
-                    t, sh, u, f = gkey
-                    u = int(u)
-                else:
-                    t, sh, f = gkey
-                    u = None
+        if tab.num_rows:
+            # group (term, shard[, unit], field) rows into _ChainCols chains
+            # with ONE numeric lexsort + boundary slicing — no pandas: the
+            # groupby-iterate + per-group frame this replaces cost ~10 s of
+            # a 12 s cold 58-term fuzzy fill at 5M docs (profiled; decode
+            # itself was 2 s). Arrow dictionary-encode factorizes the term
+            # strings C-side so the sort keys are all integers.
+            import pyarrow.compute as pc
+
+            has_unit = "unit" in tab.schema.names
+            term_d = pc.dictionary_encode(tab.column("term")).combine_chunks()
+            tid = term_d.indices.to_numpy()
+            tstrs = term_d.dictionary.to_pylist()
+            shard = tab.column("shard").to_numpy()
+            unit = tab.column("unit").to_numpy() if has_unit else None
+            field = tab.column("field").to_numpy()
+            block_no = tab.column("block_no").to_numpy()
+            # block_no ascending inside each chain (the order every scorer
+            # and DecodeCache ordinal assumes — sort_values("block_no") in
+            # the pandas-frame constructors)
+            keys = ((block_no, field, shard, tid) if unit is None
+                    else (block_no, field, unit, shard, tid))
+            idx = np.lexsort(keys)
+            tid, shard, field = tid[idx], shard[idx], field[idx]
+            if unit is not None:
+                unit = unit[idx]
+            ns = tab.column("n").to_numpy()[idx].astype(np.int64, copy=False)
+            mi = tab.column("max_impact").to_numpy()[idx].astype(np.float64, copy=False)
+            mind = tab.column("min_doc").to_numpy()[idx].astype(np.int64, copy=False)
+            maxd = tab.column("max_doc").to_numpy()[idx].astype(np.int64, copy=False)
+            # resident-byte charge per row, vectorized (compressed postings
+            # + fixed metadata/object overhead)
+            lens = self._SEG_ROW_OVERHEAD + sum(
+                pc.binary_length(tab.column(c)).to_numpy().astype(np.int64)
+                for c in ("doc_bytes", "tf_bytes", "dl_bytes"))[idx]
+            bcols = [tab.column(c).to_numpy(zero_copy_only=False)[idx]
+                     for c in ("doc_bytes", "tf_bytes", "dl_bytes")]
+            change = (tid[1:] != tid[:-1]) | (shard[1:] != shard[:-1]) \
+                | (field[1:] != field[:-1])
+            if unit is not None:
+                change |= unit[1:] != unit[:-1]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(change) + 1, [len(tid)]))
+            for j in range(len(starts) - 1):
+                i0, i1 = int(starts[j]), int(starts[j + 1])
+                chain = _ChainCols(
+                    ns[i0:i1].copy(), mi[i0:i1].copy(),
+                    mind[i0:i1].copy(), maxd[i0:i1].copy(),
+                    bcols[0][i0:i1].tolist(), bcols[1][i0:i1].tolist(),
+                    bcols[2][i0:i1].tolist(), int(lens[i0:i1].sum()))
                 # final [] slot: lazily memoized _BlockList view (see
-                # search_local) — rides the cache entry so view and frame
+                # search_local) — rides the cache entry so view and chain
                 # evict together
-                built[t].append((int(sh), u, int(f), g, int(g["n"].sum()), []))
+                built[tstrs[int(tid[i0])]].append(
+                    (int(shard[i0]),
+                     int(unit[i0]) if unit is not None else None,
+                     int(field[i0]), chain, int(chain.ns.sum()), []))
         costs = {t: self._chain_bytes(chains) for t, chains in built.items()}
         with self._memo_lock:
             for t, chains in built.items():
