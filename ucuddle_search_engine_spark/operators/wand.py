@@ -1704,13 +1704,23 @@ class SegmentSearcher:
 
         # fault the heap arena for the cold decode BEHIND the Arrow chain
         # read (same overlap as the phrase fill): a cold wide-OR expansion
-        # decodes Σdf postings into ~64 B/posting of fresh numpy arrays, and
-        # this box serves anonymous faults at 5-7 s/GB single-threaded —
-        # the touch-ahead hides that behind I/O; hot-arena repeats are no-ops
+        # decodes Σdf postings into fresh numpy arrays (scored memos
+        # ~16 B/posting + transient decode buffers), and this box touches
+        # anonymous pages at ~1.3-1.6 s/GB even on 16 threads. Sized to the
+        # terms whose chains are NOT already cached — the old Σdf-over-ALL-
+        # terms target (×96, 10 GB cap) re-fired on every warm query once
+        # the caches legitimately owned the arena (free < target forever),
+        # and its join made a 10 GB shortfall a ~13 s SYNCHRONOUS stall on
+        # cold queries after a heavy phrase class (measured: bench cold
+        # fuzzy 15.4 s of which the scan was 3.8 s). The 2 GB cap bounds
+        # the worst post-scan wait to ~1 s; deeper misses fault inline in
+        # the GIL-released decode kernels at the same serialized rate.
         from ..functions import mem
 
-        est = sum(stats.values())
-        arena = mem.prefault_async(min(int(est) * 96, 10 << 30)) if est > 1e6 else None
+        est_miss = sum(df for (t, _f), df in stats.items()
+                       if t not in self._seg_chains)
+        arena = mem.prefault_async(min(int(est_miss) * 24, 2 << 30)) \
+            if est_miss > 4e6 else None
         chains_by_term = self._term_chains(terms, fields)
         if arena is not None:
             arena.join()
