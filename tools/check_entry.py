@@ -41,8 +41,19 @@ def as_multiset(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if "/" not in a)
+    # an arg is the sf dir if it's a path ("/" in it) or a bare scale name
+    # like "sf0.01" (resolved under /root/testdata); everything else is a
+    # query-name filter
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    only = set()
+    for a in args:
+        if "/" in a:
+            sf_dir = a
+        elif a.startswith("sf") and Path(f"/root/testdata/{a}").is_dir():
+            sf_dir = f"/root/testdata/{a}"
+        else:
+            only.add(a)
     spark = get_spark("check_entry", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
