@@ -49,6 +49,51 @@ _HOT_BYTES = 0
 _ACTIVE_QUERIES = 0
 
 
+_ADMIT_SEM = None
+
+
+class _NoAdmission:
+    """Context no-op when admission control is disabled (limit 0)."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def admission():
+    """Bounded-admission gate for serving-tier queries (search_local /
+    phrase_search_local): at most N queries EXECUTE concurrently; the rest
+    wait on the semaphore (a GIL-free futex wait), exactly the ES
+    search-thread-pool-plus-queue posture. Rationale (BENCH/throughput.json,
+    1M docs, 24-query warm mix): each query is already internally parallel
+    — the scoring pool fans (shard, unit) groups across up to 32 threads
+    and the probe/decode pools behave likewise — so stacking more QUERY
+    threads on top oversubscribes the same cores and convoys the GIL-held
+    per-chain bookkeeping: measured QPS peaked at concurrency 2 (66.2) and
+    COLLAPSED to 29 at 8-32 in-flight, with p95 inflating 35 ms → 6.9 s.
+    Closed-loop latency is c/QPS regardless (Little's law), so capping
+    execution width raises throughput AND tightens the tail.
+
+    Limit: UCUDDLE_MAX_INFLIGHT_QUERIES (0 disables); default 2 — the
+    measured optimum on the 32-cpu box (width 2: 86-88 QPS / p95 ~41 ms at
+    8-32 in flight; width 4: 63-75 QPS / p95 131-195 ms; each query's own
+    pools already use the cores). Operators with many slow-I/O cold queries
+    can widen via the env knob."""
+    global _ADMIT_SEM
+    if _ADMIT_SEM is None:
+        with _LOCK:
+            if _ADMIT_SEM is None:
+                import os
+
+                env = os.environ.get("UCUDDLE_MAX_INFLIGHT_QUERIES")
+                limit = int(env) if env is not None else 2
+                _ADMIT_SEM = threading.BoundedSemaphore(limit) \
+                    if limit > 0 else _NoAdmission()
+    return _ADMIT_SEM
+
+
 def query_begin() -> None:
     """Mark a serving query in flight (GIL-atomic int bump — a stale read
     in the top-up thread only delays its abort by one chunk)."""
@@ -152,6 +197,14 @@ def prefault(nbytes: int, threads: int = 16, yield_to_queries: bool = False) -> 
     if not enable_heap_reuse():
         return 0
     with _LOCK:
+        if yield_to_queries and _ACTIVE_QUERIES > 0:
+            # abort BEFORE the arena allocation below: under sustained
+            # concurrent traffic queries are always in flight, and a
+            # GB-scale np.empty + free per attempt is pure malloc-arena
+            # churn against the live queries (single-arena posture — the
+            # allocation serializes on the same lock their numpy
+            # temporaries need). The last query to end re-arms the top-up.
+            return 0
         free = _arena_free_bytes()
         if free is not None:
             delta = int(nbytes) - free
@@ -276,6 +329,11 @@ def topup_async() -> None:
     caches stop growing."""
     global _TOPUP_THREAD
     if _TOPUP_TARGET <= 0 or not _ENABLED:
+        return
+    if _ACTIVE_QUERIES > 0:
+        # other queries still in flight (the caller's own just ended): a
+        # top-up would abort against them anyway — don't even spawn the
+        # thread. The last query to end when the box goes idle re-arms it.
         return
     t = _TOPUP_THREAD
     if t is not None and t.is_alive():

@@ -247,17 +247,22 @@ def phrase_search_local(store_dir: str, terms: list[str], k: int = 10,
                                 "(build with write_postings=True)")
     from ..functions import mem
 
-    # query-in-flight mark: the background arena top-up yields (aborts its
-    # touch loop) while we run, instead of competing for memory bandwidth
-    mem.query_begin()
-    try:
-        return _phrase_search_local_impl(store_dir, terms, k, field, dead, cache)
-    finally:
-        mem.query_end()
-        # idle-time arena re-warm AFTER the active mark drops: a cold fill
-        # grows the live key cache, eating free hot pages — restore the
-        # target in the background (functions/mem)
-        mem.topup_async()
+    # bounded admission + query-in-flight mark: at most N serving queries
+    # execute at once (mem.admission — same gate as search_local), and the
+    # background arena top-up yields (aborts its touch loop) while we run,
+    # instead of competing for memory bandwidth
+    with mem.admission():
+        mem.query_begin()
+        try:
+            return _phrase_search_local_impl(store_dir, terms, k, field,
+                                             dead, cache)
+        finally:
+            mem.query_end()
+            # idle-time arena re-warm AFTER the active mark drops: a cold
+            # fill grows the live key cache, eating free hot pages — restore
+            # the target in the background; no-op while other queries remain
+            # in flight (functions/mem)
+            mem.topup_async()
 
 
 def _phrase_search_local_impl(store_dir: str, terms: list[str], k: int,

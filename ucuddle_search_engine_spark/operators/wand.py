@@ -1650,18 +1650,20 @@ class SegmentSearcher:
         against our own query."""
         from ..functions import mem
 
-        mem.query_begin()
-        try:
-            return self._search_local_impl(terms, k=k, mode=mode,
-                                           algorithm=algorithm, offset=offset,
-                                           round_dp=round_dp)
-        finally:
-            mem.query_end()
-            # idle-time arena re-warm: cache growth during THIS query
-            # consumed free hot pages; restore the free-arena target in the
-            # background so the next distinct query doesn't fault at
-            # ~5.4 s/GB (functions/mem)
-            mem.topup_async()
+        with mem.admission():  # bounded execution width (see mem.admission)
+            mem.query_begin()
+            try:
+                return self._search_local_impl(terms, k=k, mode=mode,
+                                               algorithm=algorithm, offset=offset,
+                                               round_dp=round_dp)
+            finally:
+                mem.query_end()
+                # idle-time arena re-warm: cache growth during THIS query
+                # consumed free hot pages; restore the free-arena target in
+                # the background so the next distinct query doesn't fault at
+                # ~5.4 s/GB. No-op while OTHER queries remain in flight
+                # (functions/mem) — the last one to end re-arms it.
+                mem.topup_async()
 
     def _search_local_impl(self, terms: list[str], k: int = 20, mode: str = "and",
                            algorithm: str = "auto", offset: int = 0,
