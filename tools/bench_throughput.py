@@ -16,7 +16,9 @@ response is compared against the single-threaded reference — a race that
 corrupts a ranking fails the bench, so this doubles as a stress test
 (tests/test_concurrency.py pins the same property at pytest scale).
 
-Run: python tools/bench_throughput.py
+Run: python tools/bench_throughput.py [store_dir [out_json]]
+(default: the 1M store → BENCH/throughput.json; pass .data/store_5m and an
+out path to record the 5M curve without overwriting the 1M artifact)
 """
 
 from __future__ import annotations
@@ -33,7 +35,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from ucuddle_search_engine_spark.operators.wand import SegmentSearcher  # noqa: E402
 
 STORE = "/root/repo/.data/million_store"
-N_DOCS = 1_000_000
 LEVELS = [1, 2, 4, 8, 16, 32]
 ROUNDS = 4  # mix passes per thread per level
 
@@ -68,7 +69,11 @@ QUERY_MIX = [
 
 
 def main() -> None:
-    local = SegmentSearcher.open_local(STORE).warm()
+    store = sys.argv[1] if len(sys.argv) > 1 else STORE
+    out_path = sys.argv[2] if len(sys.argv) > 2 else \
+        "/root/repo/BENCH/throughput.json"
+    local = SegmentSearcher.open_local(store).warm()
+    n_docs = next(iter(local._coll.values()))[0]
 
     def run(terms, mode):
         return [(d, round(s, 9)) for d, s in
@@ -78,8 +83,9 @@ def main() -> None:
     want = {i: run(t, m) for i, (t, m) in enumerate(QUERY_MIX)}
 
     out: dict = {
-        "n_docs": N_DOCS,
-        "store": "round-6 layout (term-major row groups, 3 shards)",
+        "n_docs": n_docs,
+        "store": store,
+        "num_shards": local.num_shards,
         "mix_size": len(QUERY_MIX),
         "rounds_per_thread": ROUNDS,
         "protocol": (
@@ -127,6 +133,11 @@ def main() -> None:
             "qps": round(n_req / wall, 1),
             "p50_ms": round(statistics.median(lat_sorted) * 1000, 1),
             "p95_ms": round(lat_sorted[int(0.95 * (len(lat_sorted) - 1))] * 1000, 1),
+            # the admission queue is FIFO (threading.Condition wakes waiters
+            # in arrival order), but closed-loop clients re-enter immediately
+            # — p99/max expose any starvation the p95 hides
+            "p99_ms": round(lat_sorted[int(0.99 * (len(lat_sorted) - 1))] * 1000, 1),
+            "max_ms": round(lat_sorted[-1] * 1000, 1),
         }
         out["levels"][c] = row
         print(c, row, flush=True)
@@ -137,7 +148,7 @@ def main() -> None:
     out["qps_peak"] = out["levels"][peak_c]["qps"]
     out["peak_concurrency"] = peak_c
     out["peak_speedup"] = round(out["qps_peak"] / base, 2)
-    with open("/root/repo/BENCH/throughput.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
