@@ -80,3 +80,58 @@ def test_search_local_concurrent_parity(spark, tmp_path_factory):
     for t in threads:
         t.join()
     assert not failures, failures[:5]
+
+
+def test_fair_gate_width_and_fifo_handoff():
+    """mem._FairGate: never more than `width` concurrent holders, every
+    entrant is served, and no slot/waiter leaks — plus FIFO handoff: a
+    releaser passes its slot to the OLDEST waiter, so arrival order is
+    service order once the gate saturates (threading.Semaphore barging
+    starved individual closed-loop requests for tens of seconds, measured
+    in BENCH/throughput.json before the gate)."""
+    import threading
+    import time
+
+    from ucuddle_search_engine_spark.functions import mem
+
+    g = mem._FairGate(1)
+    lock = threading.Lock()
+    active, peak, served = [0], [0], []
+
+    # saturate: hold the only slot while the workers queue up in a known
+    # arrival order, then release and let handoff drain them
+    g.__enter__()
+    started = threading.Barrier(9)
+
+    def w(i):
+        started.wait()
+        # deterministic queue order: i-th worker waits for i waiters ahead
+        while True:
+            with g._lock:
+                if len(g._waiters) == i:
+                    break
+            time.sleep(0.0005)
+        with g:
+            with lock:
+                active[0] += 1
+                peak[0] = max(peak[0], active[0])
+                served.append(i)
+            time.sleep(0.001)
+            with lock:
+                active[0] -= 1
+
+    ts = [threading.Thread(target=w, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    started.wait()
+    while True:
+        with g._lock:
+            if len(g._waiters) == 8:
+                break
+        time.sleep(0.001)
+    g.__exit__(None, None, None)
+    for t in ts:
+        t.join()
+    assert peak[0] == 1
+    assert served == list(range(8))  # FIFO: service order == arrival order
+    assert g._active == 0 and not g._waiters

@@ -62,6 +62,42 @@ class _NoAdmission:
         return False
 
 
+class _FairGate:
+    """FIFO admission gate: at most `width` holders; a releasing holder
+    hands its slot DIRECTLY to the oldest waiter. threading.Semaphore is
+    not fair — a woken waiter must re-win the condition lock against
+    freshly-arriving acquirers (barging), and under closed-loop load that
+    starved individual requests for the whole run (measured: max wait
+    33.9 s at 32 in-flight clients while p95 stayed 43 ms). With direct
+    handoff the worst wait is queue-length × service time."""
+
+    def __init__(self, width: int):
+        import collections
+
+        self._lock = threading.Lock()
+        self._width = width
+        self._active = 0
+        self._waiters: collections.deque = collections.deque()
+
+    def __enter__(self):
+        with self._lock:
+            if self._active < self._width and not self._waiters:
+                self._active += 1
+                return self
+            ev = threading.Event()
+            self._waiters.append(ev)
+        ev.wait()  # slot is transferred by the releaser; _active unchanged
+        return self
+
+    def __exit__(self, *a):
+        with self._lock:
+            if self._waiters:
+                self._waiters.popleft().set()  # hand off, count carries over
+            else:
+                self._active -= 1
+        return False
+
+
 def admission():
     """Bounded-admission gate for serving-tier queries (search_local /
     phrase_search_local): at most N queries EXECUTE concurrently; the rest
@@ -89,8 +125,7 @@ def admission():
 
                 env = os.environ.get("UCUDDLE_MAX_INFLIGHT_QUERIES")
                 limit = int(env) if env is not None else 2
-                _ADMIT_SEM = threading.BoundedSemaphore(limit) \
-                    if limit > 0 else _NoAdmission()
+                _ADMIT_SEM = _FairGate(limit) if limit > 0 else _NoAdmission()
     return _ADMIT_SEM
 
 
