@@ -265,10 +265,11 @@ class SearchApp:
         import pyarrow as pa
 
         from ucuddle_search_engine_spark.operators.fuzzy import (
-            BAG_BINS,
             MAX_EXPANSIONS,
             _lev_capped,
             auto_distance,
+            bag_signature_py,
+            sig_nibbles,
         )
 
         if max_expansions is None:
@@ -280,10 +281,11 @@ class SearchApp:
             d = auto_distance(qt)
             term_arr, df, tlen, nib = self._arrow_bucket(
                 view, qt[:1] if prefix_length >= 1 else "")
-            qn = np.zeros(BAG_BINS, np.int16)
-            for c in qt:
-                qn[ord(c) % BAG_BINS] += 1
-            np.minimum(qn, 15, out=qn)  # match the persisted nibble clamp
+            # query-side bag through the SAME helpers that persisted the
+            # build-side column (fuzzy.bag_signature_py / sig_nibbles): the
+            # never-drop-a-candidate lower bound requires both sides to bin
+            # and clamp identically, so there must be exactly one encoding
+            qn = sig_nibbles(np.array([bag_signature_py(qt)]))[0].astype(np.int16)
             mask = np.abs(tlen - len(qt)) <= d
             mask &= np.abs(nib.astype(np.int16) - qn).sum(axis=1) <= 2 * d
             idx = np.flatnonzero(mask)

@@ -35,7 +35,8 @@ from __future__ import annotations
 
 import threading
 
-_LOCK = threading.Lock()
+_LOCK = threading.Lock()        # fast-path state: _ENABLED, _ADMIT_SEM init
+_TOUCH_LOCK = threading.Lock()  # prefault's (potentially minutes-long) touch
 _ENABLED = False
 _HOT_BYTES = 0
 
@@ -129,16 +130,25 @@ def admission():
     return _ADMIT_SEM
 
 
+_AQ_LOCK = threading.Lock()
+
+
 def query_begin() -> None:
-    """Mark a serving query in flight (GIL-atomic int bump — a stale read
-    in the top-up thread only delays its abort by one chunk)."""
+    """Mark a serving query in flight. Locked: `x += 1` on a global is
+    LOAD/ADD/STORE bytecodes and IS preemptible mid-sequence, so two
+    concurrent queries could lose an update and leave the counter
+    permanently drifted (stuck > 0 kills every future idle top-up; stuck
+    < 0 makes yielding prefaults never abort). The lock is a few ns
+    against multi-ms queries."""
     global _ACTIVE_QUERIES
-    _ACTIVE_QUERIES += 1
+    with _AQ_LOCK:
+        _ACTIVE_QUERIES += 1
 
 
 def query_end() -> None:
     global _ACTIVE_QUERIES
-    _ACTIVE_QUERIES -= 1
+    with _AQ_LOCK:
+        _ACTIVE_QUERIES -= 1
 
 
 def enable_heap_reuse() -> bool:
@@ -231,7 +241,13 @@ def prefault(nbytes: int, threads: int = 16, yield_to_queries: bool = False) -> 
     global _HOT_BYTES
     if not enable_heap_reuse():
         return 0
-    with _LOCK:
+    # NOT the module _LOCK: a startup pre-touch can run for tens of seconds
+    # to minutes, and holding the shared lock that admission() and
+    # enable_heap_reuse() need would stall the FIRST query of any process
+    # that didn't explicitly warm() (e.g. scripts/admin.py's one-shot
+    # search) for the whole touch pass. Concurrent prefault callers still
+    # serialize here instead of double-faulting the same pages.
+    with _TOUCH_LOCK:
         if yield_to_queries and _ACTIVE_QUERIES > 0:
             # abort BEFORE the arena allocation below: under sustained
             # concurrent traffic queries are always in flight, and a

@@ -86,14 +86,15 @@ def vb_decode_concat(buffers) -> tuple[np.ndarray, np.ndarray]:
     buf = np.frombuffer(joined, dtype=np.uint8)
     if buf.size == 0:
         return np.zeros(0, dtype=np.uint64), np.zeros(len(buffers), dtype=np.int64)
-    if (buf & np.uint8(0x80)).all():
+    hi = buf & np.uint8(0x80)  # shared by the fast-path test AND `ends`
+    if hi.all():
         # every byte is a terminator → every value is a single byte (the
         # NORMAL case for tf streams, where tf < 128 almost always): values
         # are just the payload bits and per-stream counts are the byte
         # lengths. Skips the ends/starts/lengths index arrays — 3×8 B/value
         # (~1.5 GB on a 65M-value batched fill) of allocation and passes.
         return (buf & np.uint8(0x7F)).astype(np.uint64), lens
-    ends = np.flatnonzero(buf & 0x80)
+    ends = np.flatnonzero(hi)
     starts = np.concatenate(([0], ends[:-1] + 1))
     out = np.empty(ends.size, dtype=np.uint64)  # every slot written below
     lengths = ends - starts + 1

@@ -131,20 +131,33 @@ def phrase_search(
     rounded BEFORE the top-k cut so docs tying at the k-th ROUNDED score
     break by doc_id exactly like a rounded-score SQL oracle (the same
     contract as wand.search_terms' round_dp)."""
+    spark = postings.sparkSession
     matches = phrase_match(postings, terms, field=field).persist()
-    n_phrase_docs = matches.count()
-    coll = {r["field"]: (r["n_docs"], r["avgdl"]) for r in cstats.collect()}
-    n_docs, avgdl = coll[field]
-    score = (
-        idf_col(F.lit(float(n_phrase_docs)), F.lit(float(n_docs)))
-        * tf_norm_col(F.col("phrase_tf").cast("double"), F.col("doclen").cast("double"), F.lit(float(avgdl)))
-    )
-    if round_dp is not None:
-        score = F.round(score, round_dp)
-    scored = matches.join(dstats.filter(F.col("field") == field), "doc_id").select(
-        "doc_id", score.alias("score")
-    )
-    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    try:
+        n_phrase_docs = matches.count()
+        coll = {r["field"]: (r["n_docs"], r["avgdl"]) for r in cstats.collect()}
+        n_docs, avgdl = coll[field]
+        score = (
+            idf_col(F.lit(float(n_phrase_docs)), F.lit(float(n_docs)))
+            * tf_norm_col(F.col("phrase_tf").cast("double"), F.col("doclen").cast("double"), F.lit(float(avgdl)))
+        )
+        if round_dp is not None:
+            score = F.round(score, round_dp)
+        scored = matches.join(dstats.filter(F.col("field") == field), "doc_id").select(
+            "doc_id", score.alias("score")
+        )
+        # materialize the k result rows while the phrase-match cache is
+        # live, then RELEASE it: DataFrame.persist entries are never
+        # auto-cleaned (CacheManager keys them by plan for the session's
+        # lifetime), so returning a lazy plan over the persisted frame
+        # would leak one cached phrase-match per query into executor
+        # storage on a long-lived session. k is small; the eager top-k
+        # costs nothing beyond work the caller was about to do.
+        rows = scored.orderBy(F.col("score").desc(),
+                              F.col("doc_id").asc()).limit(k).collect()
+    finally:
+        matches.unpersist()
+    return spark.createDataFrame(rows, schema="doc_id long, score double")
 
 
 class PhraseKeysCache:
@@ -393,10 +406,6 @@ def _load_entries(root: str, terms: list[str], field: int, cache,
         # BEHIND the Arrow scan+sort below, so the numpy build lands on hot
         # pages. Floor estimate now (token space is known); refined to the
         # table's real size after the read, which only touches the delta.
-        import os as _os2
-        import time as _time2
-        _dbg2 = _os2.environ.get("PHRASE_DEBUG_TIMING")
-        _t = _time2.time()
         mem.retain_arrow_memory()
         arena = mem.prefault_async(max(total * 4, 512 << 20))
         d = pds.dataset(root, format="parquet", partitioning="hive")
@@ -411,9 +420,6 @@ def _load_entries(root: str, terms: list[str], field: int, cache,
             flt = flt & pds.field("tb").isin(term_buckets(need))
         tab = d.to_table(filter=flt,
                          columns=["term", "doc_id", "positions", "doclen"])
-        if _dbg2:
-            print(f"    scan {_time2.time()-_t:.2f}", flush=True)
-            _t = _time2.time()
         # ~3 position-width copies live at the build's peak (delta, cumsum
         # out, ranks sum) + per-term bitmap + the pack windows' bool
         # buffers; async so the touch overlaps the sort below
@@ -432,20 +438,10 @@ def _load_entries(root: str, terms: list[str], field: int, cache,
         lens_all = pc.list_value_length(posl).to_numpy(zero_copy_only=False)
         loff = np.concatenate(([0], np.cumsum(lens_all, dtype=np.int64)))
         tcol = tab.column("term")
-        if _dbg2:
-            print(f"    cols {_time2.time()-_t:.2f}", flush=True)
-            _t = _time2.time()
         arena.join()
         arena2.join()
-        if _dbg2:
-            print(f"    arena join {_time2.time()-_t:.2f}", flush=True)
-
-    import os as _os
-    import time as _time
-    _dbg = _os.environ.get("PHRASE_DEBUG_TIMING")
 
     def build(t: str):
-        _t0 = _time.time()
         tmask = pc.equal(tcol, t).combine_chunks().to_numpy(
             zero_copy_only=False)
         rows = np.flatnonzero(tmask)
@@ -494,14 +490,10 @@ def _load_entries(root: str, terms: list[str], field: int, cache,
             seg += np.repeat(base[c0:c1], ln)
             ranks[out_starts[c0]: out_starts[c0] + m] = seg
 
-        if _dbg:
-            print(f"    build[{t}] pre-fill {_time.time()-_t0:.2f}", flush=True)
         if len(cuts) > 2:
             list(_probe_pool().map(fill, range(len(cuts) - 1)))
         elif len(cuts) == 2:
             fill(0)
-        if _dbg:
-            print(f"    build[{t}] post-fill {_time.time()-_t0:.2f}", flush=True)
         if form == "k":
             entry = (ranks, sdocs, dls)
         else:

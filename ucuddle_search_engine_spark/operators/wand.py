@@ -1324,22 +1324,16 @@ class SegmentSearcher:
         self.num_shards: int | None = _read_store_meta(store_dir).get("num_shards") \
             if store_dir is not None else None
         self._warm_thread = None
-        if store_dir is not None:
-            # serving-tier allocator posture (functions/mem): WITHOUT it this
-            # box re-faults every decode/concat buffer from fresh mmaps each
-            # query — measured 3.4 s vs 10-22 s warm on a 58-chain fuzzy OR
-            # at 5M docs, purely from anonymous-page faults
-            from ..functions import mem
-
-            mem.enable_heap_reuse()
-            mem.retain_arrow_memory()
-            # startup pre-touch (async): faults cost ~5.4 s/GB on this box at
-            # ANY parallelism but reused arena pages cost ~0.16 s/GB, so pay
-            # them once at open — off the query path — like the JVM's
-            # AlwaysPreTouch. A truly-cold first query at 5M docs was 57 s of
-            # which ~26 s was arena faulting mid-query; warm() (join) before
-            # serving removes it. Tiny test stores no-op (64 MB floor).
-            self._warm_thread = mem.startup_warm(store_dir)
+        # serving-tier memory posture is DEFERRED to the first search_local
+        # call: the allocator flip (trim/mmap disabled → freed memory
+        # retained for the process lifetime) and the multi-GB arena
+        # pre-touch only benefit the driver-side serving path, and a
+        # searcher constructed for DISTRIBUTED queries (load_searcher →
+        # search_terms, scoring runs in executors) must not spend tens of
+        # seconds of background faulting and pin ~12% of the Spark driver's
+        # RAM for a path it never runs. open_local — the serving
+        # constructor — applies it eagerly at open instead.
+        self._mem_deferred = store_dir is not None
         self._coll: dict | None = None
         self._tstats_cache: dict | None = None
         # per-term memo for the no-prepare() path: repeat queries never
@@ -1613,7 +1607,28 @@ class SegmentSearcher:
         mem.enable_heap_reuse()
         mem.retain_arrow_memory()
         obj._warm_thread = mem.startup_warm(store_dir)
+        obj._mem_deferred = False  # posture applied eagerly just above
         return obj
+
+    def _ensure_serving_posture(self) -> None:
+        """Apply the serving-tier memory posture on FIRST serving use of a
+        Spark-constructed searcher (allocator heap-reuse + async arena
+        pre-touch — see __init__'s deferral rationale; measured 3.4 s vs
+        10-22 s warm on a 58-chain fuzzy OR at 5M docs without it, and a
+        truly-cold 5M first query was 57 s of which ~26 s was mid-query
+        arena faulting). open_local applies the same posture eagerly, so
+        this is a no-op on serving-tier searchers."""
+        if not getattr(self, "_mem_deferred", False):
+            return
+        with self._memo_lock:
+            if not self._mem_deferred:
+                return
+            from ..functions import mem
+
+            mem.enable_heap_reuse()
+            mem.retain_arrow_memory()
+            self._warm_thread = mem.startup_warm(self.store_dir)
+            self._mem_deferred = False
 
     def warm(self) -> "SegmentSearcher":
         """Block until the startup arena pre-touch finishes (serving
@@ -1650,6 +1665,7 @@ class SegmentSearcher:
         against our own query."""
         from ..functions import mem
 
+        self._ensure_serving_posture()
         with mem.admission():  # bounded execution width (see mem.admission)
             mem.query_begin()
             try:

@@ -113,19 +113,56 @@ def write_tstats(tstats: DataFrame, out_dir: str) -> None:
     )
 
 
+def _swap_upgraded(path: str) -> None:
+    """Publish <path>.upgrade as <path> (original parked at .pre_upgrade,
+    removed on success). NOT atomic: POSIX cannot exchange two directories
+    in one step, so there is a window between the two renames where the
+    live path is missing. _finish_interrupted_swap undoes exactly that
+    window, and both upgrade entry points call it first — so a crash is
+    healed by simply re-running the upgrade command."""
+    import shutil
+
+    old = path + ".pre_upgrade"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(path + ".upgrade", path)
+    shutil.rmtree(old)
+
+
+def _finish_interrupted_swap(path: str) -> None:
+    """Heal a crash inside _swap_upgraded's window: the live path exists →
+    nothing to do (a stale .upgrade there is an ABORTED WRITE, cleaned by
+    the caller's rmtree). Live path missing: a complete upgraded copy at
+    .upgrade is published (it was fully written before the first rename
+    could run); otherwise the parked original at .pre_upgrade is
+    restored."""
+    import shutil
+
+    if os.path.exists(path):
+        return
+    tmp, old = path + ".upgrade", path + ".pre_upgrade"
+    if os.path.isdir(tmp):
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.isdir(old):
+        os.rename(old, path)
+
+
 def upgrade_tstats(spark: SparkSession, store_dir: str) -> bool:
     """Schema-evolve a written store's term dictionary in place: recompute
     the derived tstats columns (p1/tlen/bagsig) for stores built before they
     existed — the ES reindex-on-mapping-change admin dance
     (elastic-interaction/elastic_settings.go:35-92), scoped to the
     vocabulary-sized dictionary only (segments/docs untouched). Returns True
-    if a rewrite happened. Write-to-sibling + rename, so a crash mid-upgrade
-    leaves the original dictionary intact."""
+    if a rewrite happened. Write-to-sibling + rename; a crash mid-WRITE
+    leaves the original dictionary intact, and a crash inside the two-rename
+    publish window is healed on the next call (_finish_interrupted_swap)."""
     import shutil
 
     from ..operators.fuzzy import bag_signature_col
 
     path = os.path.join(store_dir, "tstats")
+    _finish_interrupted_swap(path)
     cur = spark.read.parquet(path)
     if "bagsig" in cur.columns:
         return False
@@ -144,11 +181,7 @@ def upgrade_tstats(spark: SparkSession, store_dir: str) -> bool:
         .partitionBy("tb")
         .parquet(tmp)
     )
-    old = path + ".pre_upgrade"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _swap_upgraded(path)
     return True
 
 
@@ -162,8 +195,10 @@ def upgrade_segments_layout(spark: SparkSession, store_dir: str,
     rows, re-sorted and re-chunked; rankings are physical-order-independent.
     Returns the number of unit directories rewritten. Idempotent: a unit
     whose first data file already has >1 row group (or is term-major tiny)
-    is skipped unless force=True. Per-unit write-to-sibling + rename, so a
-    crash leaves every unit either old-layout or new-layout, never half."""
+    is skipped unless force=True. Per-unit write-to-sibling + rename: a
+    crash mid-write leaves that unit old-layout; a crash inside a unit's
+    two-rename publish window is healed when the upgrade is re-run
+    (_finish_interrupted_swap) — no unit is ever half-written."""
     import glob as _glob
     import shutil
 
@@ -191,6 +226,7 @@ def upgrade_segments_layout(spark: SparkSession, store_dir: str,
             unit_path = os.path.join(root, unit)
             if not (unit.startswith("unit=") and os.path.isdir(unit_path)):
                 continue
+            _finish_interrupted_swap(unit_path)
             if not force and not _needs_upgrade(unit_path):
                 continue
             tmp = unit_path + ".upgrade"
@@ -204,11 +240,7 @@ def upgrade_segments_layout(spark: SparkSession, store_dir: str,
                 .partitionBy("tb")
                 .parquet(tmp)
             )
-            old = unit_path + ".pre_upgrade"
-            shutil.rmtree(old, ignore_errors=True)
-            os.rename(unit_path, old)
-            os.rename(tmp, unit_path)
-            shutil.rmtree(old)
+            _swap_upgraded(unit_path)
             done += 1
     return done
 
