@@ -80,3 +80,37 @@ def test_upgrade_segments_layout_preserves_ranking(spark, store, tmp_path_factor
 
     # idempotence: without force, the already-small row groups are skipped
     assert upgrade_segments_layout(spark, store) == 0
+
+
+def test_interrupted_swap_window_heals(spark, store, tmp_path_factory):
+    """A crash inside the two-rename publish window (live dir missing,
+    upgraded copy parked at .upgrade) is healed by re-running the upgrade:
+    _finish_interrupted_swap publishes the complete copy, rankings are
+    unchanged. Also covers the rollback arm: live dir missing with only
+    .pre_upgrade present restores the original."""
+    import shutil
+
+    from ucuddle_search_engine_spark.plans.build_index import (
+        _finish_interrupted_swap,
+        upgrade_tstats,
+    )
+
+    out = os.path.join(str(tmp_path_factory.mktemp("idx_swap")), "store")
+    shutil.copytree(store, out)
+    want = _ranked(out, ["t0", "t1"], "or")
+    path = os.path.join(out, "tstats")
+
+    # simulate the window: original parked, an upgraded (here: identical)
+    # copy fully written at .upgrade, live path missing
+    shutil.copytree(path, path + ".upgrade")
+    os.rename(path, path + ".pre_upgrade")
+    assert not os.path.exists(path)
+    upgrade_tstats(spark, out)  # entry point heals before inspecting
+    assert os.path.isdir(path) and not os.path.exists(path + ".upgrade")
+    assert _ranked(out, ["t0", "t1"], "or") == want
+
+    # rollback arm: only the parked original exists
+    os.rename(path, path + ".pre_upgrade")
+    _finish_interrupted_swap(path)
+    assert os.path.isdir(path) and not os.path.exists(path + ".pre_upgrade")
+    assert _ranked(out, ["t0", "t1"], "or") == want
