@@ -60,36 +60,48 @@ def _bm25(spark: SparkSession, sf_dir: str, terms: list[str], mode: str, k: int 
     return idx.search_terms(terms, k=k, mode=mode, round_dp=6)
 
 
-def _bm25_sql(terms: list[str], mode: str, k: int = 10) -> str:
-    tlist = ", ".join(f"'{t}'" for t in terms)
-    nterms = len(terms)
-    and_filter = f"WHERE nterms = {nterms}" if mode == "and" else ""
-    return f"""
-WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents
-),
-dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+def _bm25_score_ctes(term_filter_sql: str, with_nterms: bool = False) -> str:
+    """The BM25 scoring CTE chain (dl/coll/tf/dfreq/scored) over a
+    previously-defined `toks(doc_id, term)` CTE — the ONE copy of the
+    oracle-side scoring formula (previously pasted into four oracles, which
+    had already drifted on term dedup). `term_filter_sql` is what goes in
+    tf's `term IN (...)`; with_nterms adds the distinct-matched-terms count
+    AND-mode filters on."""
+    nterms = ",\n         count(*) AS nterms" if with_nterms else ""
+    return f"""dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
 coll AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doclen) AS avgdl FROM dl),
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-  FROM toks WHERE term IN ({tlist}) GROUP BY doc_id, term
+  FROM toks WHERE term IN ({term_filter_sql}) GROUP BY doc_id, term
 ),
 dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
          sum( ln(1.0 + (coll.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / coll.avgdl)) ) AS score,
-         count(*) AS nterms
+              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / coll.avgdl)) ) AS score{nterms}
   FROM tf
   JOIN dfreq ON tf.term = dfreq.term
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN coll
   GROUP BY tf.doc_id
-)
+)"""
+
+
+def _bm25_sql(terms: list[str], mode: str, k: int = 10, offset: int = 0) -> str:
+    # dedup exactly like the engine (search_terms does sorted(set(terms))):
+    # the AND filter counts DISTINCT matched terms, so an un-deduped nterms
+    # could never be satisfied by a query with a repeated term
+    terms = sorted(set(terms))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    nterms = len(terms)
+    and_filter = f"WHERE nterms = {nterms}" if mode == "and" else ""
+    page = f"LIMIT {k} OFFSET {offset}" if offset else f"LIMIT {k}"
+    return f"""
+WITH toks AS ({TOKS_SQL}),
+{_bm25_score_ctes(tlist, with_nterms=True)}
 SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS score
 FROM scored {and_filter}
-ORDER BY score DESC, doc_id ASC LIMIT {k}
+ORDER BY score DESC, doc_id ASC {page}
 """
 
 
@@ -101,16 +113,23 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_expr(n: int) -> str:
+    """DuckDB n-gram shingle expression over a token-list column `t` — ONE
+    copy of the 1-based-inclusive window arithmetic (an off-by-one fix here
+    fixes every oracle that shingles)."""
+    return f"""unnest(CASE WHEN len(t) >= {n}
+                    THEN list_transform(range(1, len(t) - {n - 2}),
+                                        i -> array_to_string(t[i:i+{n - 1}], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END) AS shingle"""
+
+
 TOKS_SQL = f"SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term FROM documents"
 
 # 3-token shingles, distinct per doc (DuckDB list slicing is 1-based inclusive)
 _SHINGLES_SQL = f"""
             t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t FROM documents),
             sh AS (
-              SELECT DISTINCT doc_id,
-                     unnest(CASE WHEN len(t) >= 3
-                            THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-                            ELSE CAST([] AS VARCHAR[]) END) AS shingle
+              SELECT DISTINCT doc_id, {_shingle_expr(3)}
               FROM t0
             )"""
 
@@ -490,10 +509,17 @@ def _emb_bucketed_sql(n_tables: int = 8, bits_per_table: int = 3) -> str:
 ANN_QUERY_VEC_ID = 0
 
 
+def _ann_query_vec(emb) -> list[float]:
+    row = emb.filter(F.col("vec_id") == ANN_QUERY_VEC_ID).select("embedding").first()
+    if row is None:
+        raise ValueError(f"embeddings table has no vec_id={ANN_QUERY_VEC_ID} "
+                         "query vector (regenerated fixture with different ids?)")
+    return [float(x) for x in row[0]]
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == ANN_QUERY_VEC_ID).select("embedding").first()[0]
-    return cosine_topk_bruteforce(emb, [float(x) for x in qvec], k=10)
+    return cosine_topk_bruteforce(emb, _ann_query_vec(emb), k=10)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -507,9 +533,8 @@ def q_ann_ivf_topk(spark, sf_dir):
     from ucuddle_search_engine_spark.operators.ivf_params import IVF_CENTROIDS
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == ANN_QUERY_VEC_ID).select("embedding").first()[0]
     idx = IVFIndex(emb, n_probe=2, centroids=IVF_CENTROIDS)
-    return idx.topk([float(x) for x in qvec], k=10)
+    return idx.topk(_ann_query_vec(emb), k=10)
 
 
 def _ann_ivf_sql(n_probe: int = 2, k: int = 10) -> str:
@@ -777,28 +802,8 @@ def _search_highlight_sql(k: int = 10) -> str:
     tlist = ", ".join(f"'{t}'" for t in sorted(set(HIGHLIGHT_TERMS)))
     nterms = len(set(HIGHLIGHT_TERMS))
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents
-),
-dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
-coll AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doclen) AS avgdl FROM dl),
-tf AS (
-  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-  FROM toks WHERE term IN ({tlist}) GROUP BY doc_id, term
-),
-dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-scored AS (
-  SELECT tf.doc_id,
-         sum( ln(1.0 + (coll.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / coll.avgdl)) ) AS score,
-         count(*) AS nterms
-  FROM tf
-  JOIN dfreq ON tf.term = dfreq.term
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN coll
-  GROUP BY tf.doc_id
-),
+WITH toks AS ({TOKS_SQL}),
+{_bm25_score_ctes(tlist, with_nterms=True)},
 topk AS (
   SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS score
   FROM scored WHERE nterms = {nterms}
@@ -943,19 +948,11 @@ _DECONTAM_SQL = f"""
       FROM t0 WHERE doc_id % {DECONTAM_MOD} = 0
     ),
     dsh AS (
-      SELECT DISTINCT doc_id,
-             unnest(CASE WHEN len(t) >= {DECONTAM_N}
-                    THEN list_transform(range(1, len(t) - {DECONTAM_N - 2}),
-                                        i -> array_to_string(t[i:i+{DECONTAM_N - 1}], ' '))
-                    ELSE CAST([] AS VARCHAR[]) END) AS shingle
+      SELECT DISTINCT doc_id, {_shingle_expr(DECONTAM_N)}
       FROM t0
     ),
     bsh AS (
-      SELECT DISTINCT
-             unnest(CASE WHEN len(t) >= {DECONTAM_N}
-                    THEN list_transform(range(1, len(t) - {DECONTAM_N - 2}),
-                                        i -> array_to_string(t[i:i+{DECONTAM_N - 1}], ' '))
-                    ELSE CAST([] AS VARCHAR[]) END) AS shingle
+      SELECT DISTINCT {_shingle_expr(DECONTAM_N)}
       FROM bench
     )
     SELECT doc_id, count(*) AS n_shared
@@ -1189,7 +1186,7 @@ def q_paged_search(spark, sf_dir):
 
 
 def _paged_sql() -> str:
-    return _bm25_sql(BM25_OR_TERMS, "or", k=10).replace("LIMIT 10", "LIMIT 10 OFFSET 10")
+    return _bm25_sql(BM25_OR_TERMS, "or", k=10, offset=10)
 
 
 FUZZY_TERMS = ["windoq", "strem"]  # typos of corpus terms (window, stream)
@@ -1238,23 +1235,7 @@ expand AS (
       (CASE WHEN length(qs.qterm) < 3 THEN 0 WHEN length(qs.qterm) <= 5 THEN 1 ELSE 2 END)
     {pre}
 ),
-dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
-coll AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doclen) AS avgdl FROM dl),
-tf AS (
-  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-  FROM toks WHERE term IN (SELECT term FROM expand) GROUP BY doc_id, term
-),
-dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-scored AS (
-  SELECT tf.doc_id,
-         sum( ln(1.0 + (coll.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / coll.avgdl)) ) AS score
-  FROM tf
-  JOIN dfreq ON tf.term = dfreq.term
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN coll
-  GROUP BY tf.doc_id
-)
+{_bm25_score_ctes("SELECT term FROM expand")}
 SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS score
 FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {k}
@@ -1328,7 +1309,12 @@ def q_lang_routed_search_nostop(spark, sf_dir):
     with the russian analyzer's BM25 over the ru subset."""
     docs = _mixed_lang_docs(load_table(spark, sf_dir, "documents"))
     router = LangRoutedIndex(docs)
-    assert detect_lang(NOSTOP_QUERY) == "ru"  # the prior, not the vote
+    if detect_lang(NOSTOP_QUERY) != "ru":  # the prior, not the vote
+        # a hard error, not assert: the oracle hardcodes lang='ru', and
+        # python -O would strip an assert — a stopword/prior change that
+        # flips detection must fail HERE, not as a confusing hash mismatch
+        raise ValueError("detect_lang(NOSTOP_QUERY) no longer routes to ru; "
+                         "update the lang_routed_search_nostop oracle")
     return router.search(NOSTOP_QUERY, k=10, mode="or", round_dp=6)
 
 
@@ -1369,23 +1355,7 @@ endocs AS (
 toks AS (
   SELECT doc_id, unnest({an.tokens_sql('text')}) AS term FROM endocs
 ),
-dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
-coll AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doclen) AS avgdl FROM dl),
-tf AS (
-  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-  FROM toks WHERE term IN ({tlist}) GROUP BY doc_id, term
-),
-dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-scored AS (
-  SELECT tf.doc_id,
-         sum( ln(1.0 + (coll.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-              * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doclen / coll.avgdl)) ) AS score
-  FROM tf
-  JOIN dfreq ON tf.term = dfreq.term
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN coll
-  GROUP BY tf.doc_id
-)
+{_bm25_score_ctes(tlist)}
 SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS score
 FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {k}
@@ -1607,7 +1577,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
         """,
         "simhash_hamming_pairs": _simhash_pairs_sql(),
-        "embedding_neardup_pairs": """
+        "embedding_neardup_pairs": f"""
             WITH n AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
@@ -1616,7 +1586,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    CAST(round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS DOUBLE) AS cosine
             FROM n a JOIN n b ON a.vec_id < b.vec_id
-            WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.35
+            WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {EMB_NEARDUP_THRESHOLD}
         """,
         "embedding_neardup_bucketed": _emb_bucketed_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
