@@ -205,18 +205,26 @@ class SearchApp:
                 for c in firsts:
                     out.update(view.vocab_buckets.get(c, {}))
                 return out
+        # same build-outside / publish-inside shape as the full-vocab branch
+        # above: the p1-bucket read can be seconds of I/O+decode on a large
+        # dictionary, and holding the app-wide lock through it would stall
+        # every concurrent request's cache-publish and the reload check.
+        # Racing builders duplicate the read; setdefault keeps one copy.
         with self._lock:
             missing = [c for c in firsts if c not in view.vocab_buckets]
-            if missing:
-                tt = ds.to_table(filter=pa_points_filter("p1", missing),
-                                 columns=["term", "df", "p1"])
-                got = {c: {} for c in missing}
-                for t, d, c in zip(tt["term"].to_pylist(), tt["df"].to_pylist(),
-                                   tt["p1"].to_pylist()):
-                    b = got[c]
-                    if d > b.get(t, -1):
-                        b[t] = d
-                view.vocab_buckets.update(got)
+        if missing:
+            tt = ds.to_table(filter=pa_points_filter("p1", missing),
+                             columns=["term", "df", "p1"])
+            got = {c: {} for c in missing}
+            for t, d, c in zip(tt["term"].to_pylist(), tt["df"].to_pylist(),
+                               tt["p1"].to_pylist()):
+                b = got[c]
+                if d > b.get(t, -1):
+                    b[t] = d
+            with self._lock:
+                for c, b in got.items():
+                    view.vocab_buckets.setdefault(c, b)
+        with self._lock:
             out: dict[str, float] = {}
             for c in firsts:
                 out.update(view.vocab_buckets.get(c, {}))
@@ -367,7 +375,9 @@ class SearchApp:
                 import numpy as np
 
                 if view.phrase_cache is None:
-                    view.phrase_cache = PhraseKeysCache()
+                    with self._lock:  # lose the race → keep the winner's
+                        if view.phrase_cache is None:
+                            view.phrase_cache = PhraseKeysCache()
                 ts = view.searcher.tombstones
                 hits = phrase_search_local(
                     self.store_dir, terms, k=k + offset,
@@ -478,7 +488,10 @@ class RoutedSearchApp:
     same stopword vote the doc side used to build the stores."""
 
     def __init__(self, root_dir: str):
+        import threading
+
         self.root_dir = root_dir
+        self._reload_lock = threading.Lock()
         self._open()
 
     def _open(self) -> None:
@@ -490,23 +503,35 @@ class RoutedSearchApp:
         mtime = os.stat(path).st_mtime_ns
         with open(path) as f:
             meta = json.load(f)
-        self.langs = meta["langs"]
+        langs = meta["langs"]
+        # build the EXPENSIVE part first (per-language store opens), then
+        # publish langs/fallback/apps together and the mtime token LAST: a
+        # concurrent request that sees the new token must also see the new
+        # apps — the reverse order exposed a window where apps was stale
+        # while fallback was new, so a routable query transiently missed
+        self.apps = {
+            lang: SearchApp(os.path.join(self.root_dir, f"lang={lang}"))
+            for lang in langs
+        }
+        self.langs = langs
         # the reference's else-branch: unknown-language queries go to a
         # configured default store (ru there, web/elastic_interaction.py:53-57)
         self.fallback = meta.get("fallback")
         self._routing_mtime = mtime
-        self.apps = {
-            lang: SearchApp(os.path.join(self.root_dir, f"lang={lang}"))
-            for lang in self.langs
-        }
 
     def _maybe_reload(self) -> None:
         # per-language stores reload themselves (SearchApp._maybe_reload);
-        # this catches routing.json itself changing (a language added/removed)
+        # this catches routing.json itself changing (a language added/removed).
+        # Lock + re-check: concurrent requests must not each rebuild every
+        # per-language SearchApp (multi-second tstats opens + warm threads)
         try:
             if os.stat(os.path.join(self.root_dir, "routing.json")).st_mtime_ns \
                     != self._routing_mtime:
-                self._open()
+                with self._reload_lock:
+                    if os.stat(os.path.join(
+                            self.root_dir, "routing.json")).st_mtime_ns \
+                            != self._routing_mtime:
+                        self._open()
         except FileNotFoundError:
             pass
 
@@ -521,9 +546,12 @@ class RoutedSearchApp:
         if app is None:
             return []  # und / unrouted language and no fallback configured
         hits = app.search(q, k=k, mode=mode, **kw)
-        for h in hits:
-            h["lang"] = lang
-        return hits
+        # COPY before annotating: app.search returns the dicts that live in
+        # SearchApp's shared result cache — inserting a key into those while
+        # a concurrent cache-hit request is json.dumps-iterating the same
+        # objects raises "dictionary changed size during iteration" (and
+        # would poison the cache with routing metadata regardless)
+        return [{**h, "lang": lang} for h in hits]
 
     def n_docs(self) -> int:
         return sum(a.n_docs() for a in self.apps.values())
@@ -548,8 +576,11 @@ def make_handler(app: SearchApp):
                     try:
                         # malformed numerics (?k=abc) are a client error — a
                         # clean 400, not a ValueError-turned-500 traceback
-                        k = min(int(qs.get("k", ["10"])[0]), 100)
-                        prefix = min(int(qs.get("prefix", ["0"])[0]), 8)
+                        # clamp BOTH ends: a negative k would flow into
+                        # list slices as tops[offset:offset-1] and return
+                        # nearly everything instead of erroring
+                        k = max(min(int(qs.get("k", ["10"])[0]), 100), 1)
+                        prefix = max(min(int(qs.get("prefix", ["0"])[0]), 8), 0)
                         offset = max(int(qs.get("from", ["0"])[0]), 0)
                     except ValueError:
                         self.send_error(400, "k/prefix/from must be integers")

@@ -99,6 +99,7 @@ def minhash_signature_arrays(
     text_col: str = "text",
     num_hashes: int = DEFAULT_HASHES,
     hash_kind: str = "md5",
+    shingle_n: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
     """(doc_id, minhashes array) as ONE shuffle-free projection:
     tokens → distinct shingles → per-hash array_min — the num_hashes×
@@ -130,10 +131,10 @@ def minhash_signature_arrays(
         def tri_of(toks):
             n = F.size(toks)
             return F.when(
-                n >= DEFAULT_SHINGLE,
+                n >= shingle_n,
                 F.array_distinct(F.transform(
-                    F.sequence(F.lit(1), n - F.lit(DEFAULT_SHINGLE - 1)),
-                    lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(DEFAULT_SHINGLE)]),
+                    F.sequence(F.lit(1), n - F.lit(shingle_n - 1)),
+                    lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(shingle_n)]),
                 )),
             ).otherwise(F.array().cast("array<long>"))
 
@@ -142,7 +143,7 @@ def minhash_signature_arrays(
             lambda i: F.array_min(F.transform(ss, lambda h: F.xxhash64(h, i))),
         )))
     else:
-        sig = _bind(raw_toks, lambda toks: _bind(shingle_set_col(toks, DEFAULT_SHINGLE), lambda ss: F.transform(
+        sig = _bind(raw_toks, lambda toks: _bind(shingle_set_col(toks, shingle_n), lambda ss: F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
             lambda i: F.array_min(F.transform(ss, lambda s: F.md5(F.concat_ws(":", s, i.cast("string"))))),
         )))
@@ -169,7 +170,14 @@ def lsh_candidate_pairs(
     splitting plus the band-key's hash spread keep tasks bounded.
     hash_kind: 'md5' = oracle-portable hex strings; 'xx64' = 64-bit fast path.
     """
-    sig = minhash_signature_arrays(df, id_col, text_col, num_hashes, hash_kind=hash_kind)
+    if bands <= 0 or num_hashes % bands:
+        # silent truncation would band over only (num_hashes // bands) *
+        # bands of the computed minhashes (weaker LSH than requested), and
+        # bands > num_hashes would give every doc IDENTICAL empty band
+        # keys — the full O(N^2) cross product the docstring rules out
+        raise ValueError(f"bands ({bands}) must evenly divide num_hashes ({num_hashes})")
+    sig = minhash_signature_arrays(df, id_col, text_col, num_hashes,
+                                   hash_kind=hash_kind, shingle_n=shingle_n)
     rows_per_band = num_hashes // bands
     # band key = hash of the band's minhashes in hash_id order
     # (array slice preserves order; mirrors ORDER BY hash_id in the SQL oracle)

@@ -3,9 +3,12 @@
 The reference's "streaming" is a polling batch loop — crawlers fetch work
 batches forever (crawler/main.go:451-515). Its natural Spark expression is a
 file-source streaming query: new corpus parquet files appearing under a
-directory are tokenized and appended to a postings sink exactly once
-(checkpointed), which is the same at-least-once-claim / exactly-once-commit
-contract the task-manager's taken/parsed flags provide.
+directory are tokenized and committed to a postings sink exactly once:
+the checkpoint gives at-least-once batch EXECUTION, and each micro-batch
+writes (mode=overwrite) its own epoch-keyed subdirectory, so a retried
+epoch replaces its previous partial/complete output instead of appending a
+duplicate copy — together that is the same at-least-once-claim /
+exactly-once-commit contract the task-manager's taken/parsed flags provide.
 
 foreachBatch is used so each micro-batch can run the same build_postings
 DataFrame plan as the batch path (plan parity between batch and streaming).
@@ -45,9 +48,17 @@ def stream_postings(
     src = spark.readStream.schema(CORPUS_SCHEMA).parquet(corpus_dir)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
+        import os
+
         docs = batch.withColumn("doc_id", _stream_doc_key())
         postings = build_postings(docs, fields={FIELD_CONTENT: "content"})
-        postings.write.mode("append").parquet(out_dir)
+        # idempotent per-epoch commit: a crash AFTER this write but BEFORE
+        # the checkpoint records the epoch re-runs process() with the SAME
+        # epoch_id on restart — overwrite replaces the orphaned copy, where
+        # a flat append would double every posting of that batch (and the
+        # compacted store would double tf/df)
+        postings.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={int(epoch_id)}"))
 
     return (
         src.writeStream.foreachBatch(process)
@@ -75,12 +86,25 @@ def compact_streamed_postings(
     standard single-wide-exchange segment encode. The join key is the md5
     hash — uniformly distributed, no skew salting needed.
     """
+    segs, _docs, _dstats = _compact_parts(spark, corpus_dir, postings_dir,
+                                          num_shards, block_size)
+    return segs
+
+
+def _compact_parts(spark, corpus_dir, postings_dir, num_shards, block_size):
+    """(segments, docs, dstats) for a compaction — one docs plan shared by
+    the segment encode, the docs write, and cstats, so a caller that
+    persists `docs` runs the corpus scan + dense-rank sort once instead of
+    once per action (compact_to_store does exactly that)."""
     from ..operators.segments import build_segments
 
     corpus = spark.read.parquet(corpus_dir)
     docs = build_docs(corpus, num_shards=num_shards)
     mapping = docs.select(_stream_doc_key().alias("hash_id"), "doc_id")
-    streamed = spark.read.parquet(postings_dir)
+    # recursiveFileLookup: the sink is epoch-partitioned for idempotent
+    # retries (stream_postings); read the files flat so no epoch column
+    # rides into the postings schema
+    streamed = spark.read.option("recursiveFileLookup", "true").parquet(postings_dir)
     remapped = (
         streamed.withColumnRenamed("doc_id", "hash_id")
         .join(mapping, "hash_id")
@@ -88,7 +112,9 @@ def compact_streamed_postings(
     )
     dstats = doclens_from_docs(docs, fields={FIELD_CONTENT: "content"})
     cstats = collection_stats(dstats)
-    return build_segments(remapped, dstats, cstats, num_shards=num_shards, block_size=block_size)
+    segs = build_segments(remapped, dstats, cstats, num_shards=num_shards,
+                          block_size=block_size)
+    return segs, docs, dstats
 
 
 def compact_to_store(
@@ -113,9 +139,14 @@ def compact_to_store(
     from ..plans.build_index import SEG_ROW_GROUP_BYTES, TERM_BUCKETS, write_tstats
 
     os.makedirs(out_dir, exist_ok=True)
-    segs = compact_streamed_postings(
-        spark, corpus_dir, postings_dir, num_shards=num_shards, block_size=block_size
-    ).persist()
+    segs, docs, dstats = _compact_parts(
+        spark, corpus_dir, postings_dir, num_shards, block_size)
+    # persist docs: its dense-rank plan is embedded in segs (id mapping +
+    # doclens) AND written below AND feeds cstats — caching it makes the
+    # corpus scan + global sort run once across all four actions instead
+    # of once each (CacheManager matches the shared logical plan)
+    docs = docs.persist()
+    segs = segs.persist()
     (
         segs.withColumn("tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int"))
         .repartition("tb")
@@ -127,9 +158,7 @@ def compact_to_store(
     )
     tstats = segs.groupBy("term", "field").agg(F.sum("n").alias("df"))
     write_tstats(tstats, out_dir)
-    docs = build_docs(spark.read.parquet(corpus_dir), num_shards=num_shards)
     docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs/unit=0"))
-    dstats = doclens_from_docs(docs, fields={FIELD_CONTENT: "content"})
     # cstats.json must be EXACTLY what build_segments baked into max_impact
     # (a diverging avgdl would shift recomputed scores a ULP off the stored
     # block bounds) — so it comes from the same collection_stats plan
@@ -139,3 +168,4 @@ def compact_to_store(
         json.dump({"num_shards": num_shards, "sharding": "mod",
                    "block_size": block_size}, f)
     segs.unpersist()
+    docs.unpersist()

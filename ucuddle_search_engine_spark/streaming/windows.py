@@ -71,6 +71,13 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800, watermark: str = "0 
     restarts numbering at 0 (documented trade-off: bounded state vs forever-
     monotone counters — pick retention accordingly).
 
+    Batch parity holds for event streams ordered across micro-batches (each
+    batch is sorted internally). A cross-batch LATE event joins the open
+    session without rewinding its frontier (max(last_ts, t)) — the closest
+    append-mode semantics to the batch result, since already-emitted
+    sessions cannot be retracted; set a real watermark to bound how late
+    that can happen.
+
     Scale posture: state is one tiny row per RECENTLY-ACTIVE user, keyed state
     store partitioning = groupBy(user_id) shuffle; per-batch work is
     vectorized pandas over that user's Arrow rows."""
@@ -117,7 +124,13 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800, watermark: str = "0 
                             "n_events": n, "total_value": tv})
                 sno += 1
                 n, tv = 0, 0.0
-            last_ts = t
+            # frontier never rewinds: a CROSS-BATCH late event (t < last_ts;
+            # applyInPandasWithState does not watermark-filter input rows)
+            # joins the open session, but moving last_ts backwards would
+            # make the NEXT on-time event measure its gap from the stale
+            # timestamp and split a session the batch sessionizer (which
+            # sees the stream fully ordered) keeps together
+            last_ts = t if last_ts is None else max(last_ts, t)
             n += 1
             tv += float(v)
         state.update((float(last_ts), int(n), float(tv), int(sno)))
