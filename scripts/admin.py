@@ -53,6 +53,21 @@ def main() -> None:
     ap.add_argument("--mode", default="and", choices=["and", "or"])
     args = ap.parse_args()
 
+    # fail fast on missing per-command flags — argparse has one flat flag
+    # set, so without this a missing --with/--out/etc crashed deep in the
+    # command (AttributeError on None.split) AFTER a full SparkSession spin-up
+    required = {
+        "search": ["query"], "delete-docs": ["ids"], "since": ["ts"],
+        "alter": ["add_column"], "merge": ["with_store", "out"],
+        "add-docs": ["from_corpus", "out"],
+    }
+    missing = [f for f in required.get(args.cmd, ()) if getattr(args, f) is None]
+    if missing:
+        flags = {"from_corpus": "--from", "with_store": "--with",
+                 "add_column": "--add-column"}
+        ap.error(f"{args.cmd} requires " + ", ".join(
+            flags.get(f, "--" + f) for f in missing))
+
     if args.cmd == "drop":  # deleteIndexes (elastic_CRUD.go:185-192)
         shutil.rmtree(args.index)
         print(f"dropped {args.index}")
@@ -98,8 +113,15 @@ def main() -> None:
         for row in docs.orderBy(F.col("doc_id").desc()).limit(args.n).collect():
             print(row["doc_id"], row["repo"], row["path"])
     elif args.cmd == "search":  # searching (elastic_CRUD.go:71-139)
+        # THE STORE'S analyzer, exactly like the --local branch: a stemmed/
+        # Cyrillic store's index token space never matches the default ASCII
+        # analyze_query (the search_analyzer == index analyzer pin)
+        from ucuddle_search_engine_spark.plans.build_index import load_analyzer
+
+        an = load_analyzer(args.index)
+        terms = an.analyze_py(args.query) if an is not None else analyze_query(args.query)
         searcher = load_searcher(spark, args.index)
-        for row in searcher.search_terms(analyze_query(args.query), k=args.k, mode=args.mode).collect():
+        for row in searcher.search_terms(terms, k=args.k, mode=args.mode).collect():
             print(f"{row['doc_id']}\t{row['score']:.6f}")
     elif args.cmd == "merge":  # Lucene/ES N-way segment merge analogue
         from ucuddle_search_engine_spark.plans.merge import merge_many
@@ -146,7 +168,16 @@ def main() -> None:
         # (added_at stamped at build, C10 / functs_with_elastic.go:311) —
         # feeds re-index / delete-by-age; parquet row-group min/max stats
         # skip old units without a full scan.
-        hits = docs.filter(F.col("added_at") >= F.lit(args.ts).cast("timestamp"))
+        # parse --ts on the driver: F.lit(garbage).cast("timestamp") is NULL
+        # and the >= filter would silently report total=0 — a wrong answer
+        # on a maintenance decision path, not an error
+        from datetime import datetime
+
+        try:
+            ts = datetime.fromisoformat(args.ts)
+        except ValueError:
+            ap.error(f"--ts {args.ts!r} is not an ISO timestamp")
+        hits = docs.filter(F.col("added_at") >= F.lit(ts))
         for row in hits.orderBy("doc_id").limit(args.k).collect():
             print(row["doc_id"], row["added_at"], row["repo"], row["path"])
         print(f"total={hits.count()}")

@@ -100,7 +100,14 @@ def assign_doc_ids_prefix(df: DataFrame, order_cols: list[str], num_partitions: 
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
-    parted = parted.persist()
+    # NO persist: caching `parted` pins a corpus-sized copy (every column,
+    # including content) for the session — the old persist was never
+    # released and at the 100 TB posture would spill the whole corpus. The
+    # counts job below scans with column pruning (order_cols only), and the
+    # final job recomputes the plan — consistent because the whole chain is
+    # deterministic (range-partitioner sampling is fixed-seeded, order_cols
+    # are a unique key), the same purity the resumable build already relies
+    # on to recompute this pass across runs.
     counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
     acc = 0

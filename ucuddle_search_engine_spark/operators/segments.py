@@ -36,7 +36,7 @@ from .bm25 import B, K1
 DEFAULT_BLOCK = 128
 
 SEGMENT_COLS = (
-    "shard int, term string, field int, block_no int, n int, min_doc long, max_doc long, "
+    "shard int, term string, field int, block_no long, n int, min_doc long, max_doc long, "
     "doc_bytes binary, tf_bytes binary, dl_bytes binary, max_tf long, max_impact double"
 )
 
@@ -138,7 +138,12 @@ def build_segments(
                     "shard": pdf["shard"].to_numpy(np.int32)[brow],
                     "term": pdf["term"].to_numpy(object)[brow],
                     "field": pdf["field"].to_numpy(np.int32)[brow],
-                    "block_no": (chunk * blocks_per_chunk + block_in_group[bstarts]).astype(np.int32),
+                    # long, NOT int32: block_no ~ doc_id / block_size, so an
+                    # int32 silently wraps past doc_id ≈ 2.7e11 — inside the
+                    # 10^12-doc posture ids.py targets — and a wrapped
+                    # block_no re-orders the chain sort, corrupting the
+                    # delta-decode (docs out of order, no error raised)
+                    "block_no": (chunk * blocks_per_chunk + block_in_group[bstarts]).astype(np.int64),
                     "n": (bends - bstarts).astype(np.int32),
                     "min_doc": docs[bstarts],
                     "max_doc": docs[bends - 1],
@@ -151,20 +156,6 @@ def build_segments(
             )
 
     return grouped.mapInPandas(encode, schema=SEGMENT_COLS)
-
-
-def write_segments(segments: DataFrame, path: str) -> None:
-    (
-        segments.repartition("shard")
-        .sortWithinPartitions("term", "field", "block_no")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(path)
-    )
-
-
-def read_segments(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
 
 
 def decode_segment_rows(rows: pd.DataFrame) -> pd.DataFrame:

@@ -131,14 +131,18 @@ def _swap_upgraded(path: str) -> None:
 
 def _finish_interrupted_swap(path: str) -> None:
     """Heal a crash inside _swap_upgraded's window: the live path exists →
-    nothing to do (a stale .upgrade there is an ABORTED WRITE, cleaned by
-    the caller's rmtree). Live path missing: a complete upgraded copy at
-    .upgrade is published (it was fully written before the first rename
-    could run); otherwise the parked original at .pre_upgrade is
-    restored."""
+    drop any stale parked original (publish completed; a .upgrade there is
+    an ABORTED WRITE, cleaned by the caller's rmtree). Live path missing: a
+    complete upgraded copy at .upgrade is published (it was fully written
+    before the first rename could run); otherwise the parked original at
+    .pre_upgrade is restored."""
     import shutil
 
     if os.path.exists(path):
+        # publish completed; a crash before the final cleanup can leave the
+        # parked original behind — and since the store now reads as current,
+        # no later upgrade would ever reclaim that full-unit copy of disk
+        shutil.rmtree(path + ".pre_upgrade", ignore_errors=True)
         return
     tmp, old = path + ".upgrade", path + ".pre_upgrade"
     if os.path.isdir(tmp):
@@ -594,17 +598,21 @@ def add_docs_column(spark: SparkSession, out_dir: str, name: str, dtype: str,
     docs_root = os.path.join(out_dir, "docs")
     units = sorted(d for d in os.listdir(docs_root) if d.startswith("unit="))
     targets = [os.path.join(docs_root, u) for u in units] if units else [docs_root]
+    import shutil
+
     for path in targets:
+        # same park-and-publish protocol as the layout upgrades: the old
+        # rmtree(path) → os.replace(tmp) ordering had a crash window with
+        # the unit deleted and the data stranded at .tmp, unhealable
+        _finish_interrupted_swap(path)
         df = spark.read.parquet(path)
         if name in df.columns:
             raise ValueError(f"column {name!r} already exists")
         out = df.withColumn(name, F.lit(default).cast(dtype))
-        tmp = path + ".tmp"
+        tmp = path + ".upgrade"
+        shutil.rmtree(tmp, ignore_errors=True)
         out.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(path)
-        os.replace(tmp, path)
+        _swap_upgraded(path)
 
 
 def load_searcher(spark: SparkSession, out_dir: str, boosts: dict[int, float] | None = None) -> SegmentSearcher:

@@ -50,13 +50,21 @@ def build_training_shards(
         & F.col("n_tokens").between(*token_band)
         & F.col("lang_pred").isin(list(fractions))
     )
-    # canonical-fingerprint dedup, keep the lowest id of each cluster
-    canon = keep.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    gated = documents.select(F.col(id_col).alias("doc_id"), text_col, "lang").join(
-        canon.select("doc_id"), "doc_id"
+    # canonical-fingerprint dedup, keep the lowest id of each cluster —
+    # CARRYING lang_pred through the aggregate (min_by pins it to the kept
+    # row; cluster members share identical text, hence identical
+    # prediction): re-joining `stats` for lang_pred afterwards put the
+    # whole tokenize+quality+fingerprint subtree in the plan TWICE, and
+    # Catalyst does not dedup common subplans across joins — the dominant
+    # full-corpus scan ran twice
+    canon = keep.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang_pred", "doc_id").alias("lang_pred"),
     )
-    # training mix over the PREDICTED language (rejoin the prediction)
-    gated = gated.join(stats.select("doc_id", "lang_pred"), "doc_id")
+    # training mix over the PREDICTED language
+    gated = documents.select(F.col(id_col).alias("doc_id"), text_col, "lang").join(
+        canon.select("doc_id", "lang_pred"), "doc_id"
+    )
     mixed = stratified_sample(gated, fractions, strata_col="lang_pred")
 
     packed = pack_documents(mixed, budget=budget, id_col="doc_id", text_col=text_col)

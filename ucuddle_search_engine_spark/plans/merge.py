@@ -79,14 +79,16 @@ def _load_docs(spark: SparkSession, store: str) -> DataFrame:
 
 
 def merge_stores(spark: SparkSession, left: str, right: str, out_dir: str,
-                 num_shards: int = 3, block_size: int = 128) -> dict:
+                 num_shards: int | None = None,
+                 block_size: int | None = None) -> dict:
     """Two-store merge — see merge_many (right wins conflicts)."""
     return merge_many(spark, [left, right], out_dir, num_shards=num_shards,
                       block_size=block_size)
 
 
 def merge_many(spark: SparkSession, stores: list[str], out_dir: str,
-               num_shards: int = 3, block_size: int = 128) -> dict:
+               num_shards: int | None = None,
+               block_size: int | None = None) -> dict:
     """Merge N written stores into one fresh store at out_dir (docs +
     tb-partitioned segments + tstats + cstats + analyzer config) — the
     Lucene N-way segment merge. A (repo, path) present in several stores
@@ -103,6 +105,19 @@ def merge_many(spark: SparkSession, stores: list[str], out_dir: str,
     built with DIFFERENT analyzers share no token space and refuse to merge."""
     if len(stores) < 2:
         raise ValueError("merge_many needs at least two stores")
+    # geometry defaults INHERIT from the inputs' store_meta.json (max shard
+    # count wins; first store's block size): a fixed default of 3 silently
+    # collapsed an auto-sharded 96-shard store back to 3 on every merge /
+    # add-docs, regressing head-query latency (linear in per-shard
+    # postings) ~32x and sticking for all later merges
+    if num_shards is None or block_size is None:
+        from ..operators.wand import _read_store_meta
+
+        metas = [_read_store_meta(s) for s in stores]
+        if num_shards is None:
+            num_shards = max((m.get("num_shards") or 3) for m in metas)
+        if block_size is None:
+            block_size = metas[0].get("block_size") or 128
     analyzers = [load_analyzer(s) for s in stores]
     if any(a != analyzers[0] for a in analyzers[1:]):
         raise ValueError(

@@ -60,7 +60,8 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("shard", T.IntegerType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("field", T.IntegerType(), False),
-        T.StructField("block_no", T.IntegerType(), False),
+        # long: block_no ~ doc_id / block_size — int32 wraps past ~2.7e11 docs
+        T.StructField("block_no", T.LongType(), False),
         T.StructField("n", T.IntegerType(), False),
         T.StructField("min_doc", T.LongType(), False),
         T.StructField("max_doc", T.LongType(), False),
