@@ -85,50 +85,83 @@ def assign_doc_ids_sort(df: DataFrame, order_cols: list[str]) -> DataFrame:
 
 
 def assign_doc_ids_prefix(df: DataFrame, order_cols: list[str], num_partitions: int | None = None) -> DataFrame:
-    """Scale path: per-partition offsets instead of a global sort.
+    """Scale path: per-range-bucket offsets instead of a global sort.
 
-    repartitionByRange gives non-overlapping key ranges per partition, so
-    (partition exclusive-prefix-sum) + (within-partition rank) is exactly the
-    global dense rank.
+    Range boundaries are sampled ONCE on the driver (a bounded collect of
+    ~100 keys per bucket) and turned into a per-ROW deterministic bucket id
+    `_pid` (count of boundaries <= key), so the counts job and the
+    id-assignment job agree on every row's bucket no matter how either job is
+    physically partitioned. The previous implementation derived `_pid` from
+    spark_partition_id() after repartitionByRange and recomputed the plan per
+    action; repartitionByRange re-SAMPLES its boundaries with a seed derived
+    from the RDD id, which differs across actions (verified empirically on
+    PySpark 4.1.2), so the two jobs could disagree on the layout and produce
+    duplicate/skipped ids. Bucket id from data, not from layout, removes that
+    hazard with no corpus-sized persist.
+
+    (bucket exclusive-prefix-sum) + (within-bucket rank) = global dense rank,
+    because buckets are non-overlapping increasing key ranges.
     """
     import pandas as pd
 
+    spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    key_df = df.select(*order_cols)
+    n_rows = key_df.count()
+    boundaries: list[tuple] = []
+    if n_rows > 0 and num_partitions > 1:
+        frac = min(1.0, (100.0 * num_partitions) / n_rows)
+        sampled = sorted(
+            tuple(r) for r in key_df.sample(withReplacement=False, fraction=frac, seed=42).collect()
+        )
+        if sampled:
+            step = len(sampled) / num_partitions
+            seen_b = set()
+            for i in range(1, num_partitions):
+                b = sampled[min(int(i * step), len(sampled) - 1)]
+                if b not in seen_b:  # duplicate boundaries would only make empty buckets
+                    seen_b.add(b)
+                    boundaries.append(b)
+
+    key = F.struct(*[F.col(c).alias(f"k{i}") for i, c in enumerate(order_cols)])
+    pid = F.lit(0)
+    for b in boundaries:
+        bnd = F.struct(*[F.lit(v).alias(f"k{i}") for i, v in enumerate(b)])
+        pid = pid + (key >= bnd).cast("int")
     parted = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
+        df.withColumn("_pid", pid)
+        .repartition(num_partitions, "_pid")
+        .sortWithinPartitions("_pid", *order_cols)
     )
-    # NO persist: caching `parted` pins a corpus-sized copy (every column,
-    # including content) for the session — the old persist was never
-    # released and at the 100 TB posture would spill the whole corpus. The
-    # counts job below scans with column pruning (order_cols only), and the
-    # final job recomputes the plan — consistent because the whole chain is
-    # deterministic (range-partitioner sampling is fixed-seeded, order_cols
-    # are a unique key), the same purity the resumable build already relies
-    # on to recompute this pass across runs.
     counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    boffsets = df.sparkSession.sparkContext.broadcast(offsets)
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    boffsets = spark.sparkContext.broadcast(offsets)
 
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in parted.schema.fields) + ", doc_id long"
 
     def add_ids(batches) -> "pd.DataFrame":
-        # one call per partition; rows arrive pre-sorted, so a running offset
-        # across Arrow batches yields the partition-local rank — no 2nd shuffle
-        seen = 0
+        # rows arrive sorted by (_pid, key); a bucket lives entirely in one
+        # task (hash on _pid), so per-bucket running counters across Arrow
+        # batches yield the bucket-local rank — no 2nd shuffle. A task may own
+        # several buckets (hash collisions), so track counters per bucket.
+        seen: dict[int, int] = {}
+        offs = boffsets.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            base = boffsets.value.get(int(pdf["_pid"].iloc[0]), 0)
+            bs = pdf["_pid"].to_numpy()
+            local = pd.Series(bs).groupby(bs).cumcount().to_numpy()
+            base = pd.Series(bs).map(lambda b: offs.get(int(b), 0) + seen.get(int(b), 0)).to_numpy()
             pdf = pdf.copy()
-            pdf["doc_id"] = base + seen + pd.RangeIndex(len(pdf))
-            seen += len(pdf)
+            pdf["doc_id"] = base + local
+            for b, c in pd.Series(bs).value_counts().items():
+                seen[int(b)] = seen.get(int(b), 0) + int(c)
             yield pdf
 
     return parted.mapInPandas(add_ids, schema=out_schema).drop("_pid")

@@ -70,20 +70,39 @@ def pagerank(
     Fixed-iteration by default (deterministic output for tests); pass tol for
     L1-convergence early exit. Σpagerank = 1 within 1e-9 every iteration.
     """
+    import os
+
     spark = edges.sparkSession
     n = all_ids.count()
     if n == 0:
         return all_ids.withColumn("pagerank", F.lit(0.0))
 
-    out_deg = edges.groupBy("src_doc_id").agg(F.count("*").alias("out_deg"))
+    # out_deg persisted too: the per-iteration dangling-mass aggregate joins
+    # against it, and without the persist each iteration re-ran the WHOLE
+    # upstream edge plan (scan + dropDuplicates shuffle) just to rebuild the
+    # degree table (r7 fix — ed alone being persisted did not cover it)
+    out_deg = edges.groupBy("src_doc_id").agg(F.count("*").alias("out_deg")).persist()
     # edges with the source's out-degree attached; reused every iteration
     ed = edges.join(out_deg, "src_doc_id").select("src_doc_id", "dst_doc_id", "out_deg").persist()
     ed.count()
 
+    # Join strategy (opt guide §3.1), decided from n, which we just counted:
+    # `ranks` is a localCheckpoint each iteration, so Catalyst has NO size
+    # statistics for it and silently falls back to shuffling BOTH sides of
+    # every per-iteration join (measured r7: Exchange of the edge table ×5).
+    # One rank row is ~16 bytes; when the whole rank vector fits comfortably
+    # in a broadcast (n ≤ UCUDDLE_PR_BROADCAST_MAX_NODES, default 2e6 ≈ 32 MB)
+    # broadcast it and leave the persisted edge table un-shuffled. Past that
+    # size the shuffle path is the correct plan and remains the default.
+    bcast_ranks = n <= int(os.environ.get("UCUDDLE_PR_BROADCAST_MAX_NODES", "2000000") or 0)
+
+    def _b(df):
+        return F.broadcast(df) if bcast_ranks else df
+
     ranks = all_ids.select(F.col("doc_id"), F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         contribs = (
-            ranks.join(ed, ranks.doc_id == ed.src_doc_id)
+            _b(ranks).join(ed, ranks.doc_id == ed.src_doc_id)
             .select(F.col("dst_doc_id").alias("doc_id"), (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("doc_id")
             .agg(F.sum("c").alias("contrib"))
@@ -91,11 +110,11 @@ def pagerank(
         # dangling mass = rank held by docs with no out-edges; kept INSIDE the
         # plan as a broadcast 1-row aggregate so each iteration is one job
         dangling = F.broadcast(
-            ranks.join(out_deg, ranks.doc_id == out_deg.src_doc_id, "left_anti")
+            ranks.join(_b(out_deg), ranks.doc_id == out_deg.src_doc_id, "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         )
         new_ranks = (
-            all_ids.join(contribs, "doc_id", "left")
+            all_ids.join(_b(contribs), "doc_id", "left")
             .crossJoin(dangling)
             .select(
                 "doc_id",
@@ -120,6 +139,7 @@ def pagerank(
         else:
             ranks = new_ranks
     ed.unpersist()
+    out_deg.unpersist()
     return ranks.withColumnRenamed("rank", "pagerank")
 
 

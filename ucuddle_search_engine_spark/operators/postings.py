@@ -113,6 +113,21 @@ def build_postings(docs: DataFrame, fields: dict[int, str] | None = None, id_col
     return out
 
 
+def _widen_for_compute(df: DataFrame, key_col: str) -> DataFrame:
+    """Scale-adaptive parallelism guard (optimization guide §2.5/§6): the
+    analyzer is the build's CPU hot spot, and its stage parallelism is the
+    SOURCE partition count — a single small parquet file or a cached
+    2-partition table leaves every core but two idle (measured r7: the sf1.0
+    termvector stage ran 2-wide for 10.1 s on local[32]). Hash-repartition on
+    the id column (deterministic → retry-safe, unlike round-robin) up to
+    defaultParallelism. No-op whenever the input is already at least that
+    wide — the 100 TB case, where inputs arrive in thousands of splits."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, F.col(key_col))
+    return df
+
+
 def build_postings_fast(docs: DataFrame, fields: dict[int, str] | None = None, id_col: str = "doc_id",
                         analyzer=None) -> DataFrame:
     """Shuffle-free postings: per-doc term vectors from the Arrow analyzer UDF,
@@ -128,9 +143,15 @@ def build_postings_fast(docs: DataFrame, fields: dict[int, str] | None = None, i
     tv_udf = termvector_udf if analyzer is None else make_termvector_udf(analyzer)
     if fields is None:
         fields = {FIELD_CONTENT: "content", FIELD_TITLE: "title"}
+    # project to (id, field columns) BEFORE the widening exchange so it moves
+    # only the bytes the analyzer needs (guide §2.3 "project before the
+    # exchange"); both field branches share the same subplan, so ReuseExchange
+    # materializes it once
+    need = [id_col] + [c for c in dict.fromkeys(fields.values()) if c != id_col]
+    src = _widen_for_compute(docs.select(*need), id_col)
     parts = []
     for field_id, col in fields.items():
-        tv = docs.select(
+        tv = src.select(
             F.col(id_col).alias("doc_id"),
             F.explode(tv_udf(F.col(col))).alias("p"),
         )
@@ -159,6 +180,19 @@ def doclens_from_docs(docs: DataFrame, fields: dict[int, str] | None = None, id_
     no custom analyzer is set — no content re-tokenize."""
     if fields is None:
         fields = {FIELD_CONTENT: "content", FIELD_TITLE: "title"}
+    # same widening as build_postings_fast: the tokenize here is a full-text
+    # regexp pass, so it must not run at a 2-partition width on a 32-slot box.
+    # Fields that reuse the precomputed docs.doclen column skip the tokenize
+    # and ride the same (cheap) widened projection.
+    tok_fields = {fid: c for fid, c in fields.items()
+                  if not (fid == FIELD_CONTENT and "doclen" in docs.columns and analyzer is None)}
+    need = [id_col] + [c for c in dict.fromkeys(tok_fields.values()) if c != id_col]
+    if len(need) > 1:
+        if "doclen" in docs.columns and analyzer is None and FIELD_CONTENT in fields:
+            need.append("doclen")
+        src = _widen_for_compute(docs.select(*need), id_col)
+    else:
+        src = docs
     parts = []
     for field_id, col in fields.items():
         if field_id == FIELD_CONTENT and "doclen" in docs.columns and analyzer is None:
@@ -168,7 +202,7 @@ def doclens_from_docs(docs: DataFrame, fields: dict[int, str] | None = None, id_
         else:
             dl = F.size(tokenize_col(col)).cast("long")
         parts.append(
-            docs.select(
+            src.select(
                 F.col(id_col).alias("doc_id"),
                 F.lit(field_id).cast("int").alias("field"),
                 dl.alias("doclen"),
