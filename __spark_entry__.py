@@ -277,7 +277,16 @@ def q_topk_orders(spark, sf_dir):
 
 
 def q_window_latest_event(spark, sf_dir):
-    """F9: dedup-keep-best via row_number window (web/elastic_interaction.py:60)."""
+    """F9: dedup-keep-best via row_number window (web/elastic_interaction.py:60).
+
+    r7 note (examined, deliberately left as the window form): a
+    max_by(struct, struct) aggregation computes the same rows and would shrink
+    the exchange from |events| to |users| rows, but struct-typed aggregation
+    buffers force SortAggregate — the map side then sorts every event in the
+    (single-row-group) scan task, and the measured bench time REGRESSED
+    1.25 s → 2.9 s at sf1.0. The window form's exchange is what parallelizes
+    the sort across cores here; revisit only if the events input arrives
+    pre-split into many files."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (

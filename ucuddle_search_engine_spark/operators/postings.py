@@ -138,9 +138,8 @@ def build_postings_fast(docs: DataFrame, fields: dict[int, str] | None = None, i
 
     analyzer: optional functions.analyze.Analyzer (stop/stem/Unicode chain);
     None = the identity analyzer (backward-compatible default)."""
-    from ..functions.analyze import make_termvector_udf, termvector_udf
+    from ..functions.analyze import FLAT_POSTINGS_SCHEMA, make_flat_postings_fn
 
-    tv_udf = termvector_udf if analyzer is None else make_termvector_udf(analyzer)
     if fields is None:
         fields = {FIELD_CONTENT: "content", FIELD_TITLE: "title"}
     # project to (id, field columns) BEFORE the widening exchange so it moves
@@ -151,18 +150,18 @@ def build_postings_fast(docs: DataFrame, fields: dict[int, str] | None = None, i
     src = _widen_for_compute(docs.select(*need), id_col)
     parts = []
     for field_id, col in fields.items():
-        tv = src.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tv_udf(F.col(col))).alias("p"),
+        flat = src.select(id_col, col).mapInArrow(
+            make_flat_postings_fn(analyzer, id_col=id_col, text_col=col),
+            schema=FLAT_POSTINGS_SCHEMA,
         )
         parts.append(
-            tv.select(
-                F.col("p.term").alias("term"),
+            flat.select(
+                "term",
                 "doc_id",
                 F.lit(field_id).cast("int").alias("field"),
-                F.col("p.tf").alias("tf"),
-                F.col("p.positions").alias("positions"),
-                F.col("p.doclen").alias("doclen"),
+                "tf",
+                "positions",
+                "doclen",
             )
         )
     out = parts[0]

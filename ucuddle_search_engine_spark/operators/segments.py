@@ -92,26 +92,34 @@ def build_segments(
         )
     )
 
-    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """Vectorized encoder over chunk-group rows (a group NEVER spans rows,
-        so no carry buffering): flatten all groups in the batch into value
-        arrays, numpy-sort within groups, derive block boundaries, run ONE
-        varbyte pass per stream, slice per block. The only Python loop is the
-        per-block byte slice — O(#blocks)."""
-        for pdf in it:
-            if len(pdf) == 0:
+    def encode(batches: "Iterator") -> "Iterator":
+        """Vectorized mapInArrow encoder over chunk-group rows (a group NEVER
+        spans rows, so no carry buffering): read the list columns' value
+        buffers directly (no per-row Python lists), numpy-sort within groups,
+        derive block boundaries, run ONE varbyte pass per stream, and emit the
+        per-block byte columns as Arrow BinaryArrays whose offsets index the
+        ONE encoded buffer — blocks partition it contiguously, so no per-block
+        bytes objects are ever materialized (the r7 rewrite: the previous
+        mapInPandas form spent ~0.9 s/batch-set on list-of-struct conversion
+        and O(#blocks) Python byte slicing)."""
+        import pyarrow as pa
+
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
                 continue
-            lens = np.fromiter((len(x) for x in pdf["docs"]), dtype=np.int64, count=len(pdf))
+            docs_col = batch.column("docs")
+            lens = pa.compute.list_value_length(docs_col).to_numpy().astype(np.int64)
             n = int(lens.sum())
             if n == 0:
                 continue
-            row_of = np.repeat(np.arange(len(pdf)), lens)
-            docs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["docs"]])
-            tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["tfs"]])
-            dls = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["dls"]])
+            row_of = np.repeat(np.arange(nrows), lens)
+            docs = docs_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            tfs = batch.column("tfs").flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            dls = batch.column("dls").flatten().to_numpy(zero_copy_only=False).astype(np.int64)
             order = np.lexsort((docs, row_of))  # doc-sort within each group
             docs, tfs, dls, row_of = docs[order], tfs[order], dls[order], row_of[order]
-            avgdl = pdf["avgdl"].to_numpy(np.float64)[row_of]
+            avgdl = batch.column("avgdl").to_numpy(zero_copy_only=False)[row_of]
             impacts = tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
 
             gstarts = np.concatenate(([0], np.cumsum(lens)[:-1]))
@@ -129,33 +137,44 @@ def build_segments(
             dbuf, doffs = vb_encode_with_offsets(deltas.astype(np.uint64))
             tbuf, toffs = vb_encode_with_offsets(tfs.astype(np.uint64))
             lbuf, loffs = vb_encode_with_offsets(dls.astype(np.uint64))
-            dmem, tmem, lmem = dbuf.tobytes(), tbuf.tobytes(), lbuf.tobytes()
+
+            def bin_col(buf: np.ndarray, offs: np.ndarray) -> "pa.Array":
+                # blocks cover [0, n) contiguously, so the per-block byte
+                # ranges are one offsets array over the single encoded buffer
+                edges = np.ascontiguousarray(offs[np.append(bstarts, n)], dtype=np.int32)
+                return pa.Array.from_buffers(
+                    pa.binary(), len(bstarts),
+                    [None, pa.py_buffer(edges), pa.py_buffer(np.ascontiguousarray(buf, dtype=np.uint8))],
+                )
 
             brow = row_of[bstarts]
-            chunk = pdf["chunk"].to_numpy(np.int64)[brow]
-            yield pd.DataFrame(
-                {
-                    "shard": pdf["shard"].to_numpy(np.int32)[brow],
-                    "term": pdf["term"].to_numpy(object)[brow],
-                    "field": pdf["field"].to_numpy(np.int32)[brow],
+            brow_pa = pa.array(brow)
+            chunk = batch.column("chunk").to_numpy(zero_copy_only=False)[brow]
+            yield pa.record_batch(
+                [
+                    batch.column("shard").take(brow_pa),
+                    batch.column("term").take(brow_pa),
+                    batch.column("field").take(brow_pa),
                     # long, NOT int32: block_no ~ doc_id / block_size, so an
                     # int32 silently wraps past doc_id ≈ 2.7e11 — inside the
                     # 10^12-doc posture ids.py targets — and a wrapped
                     # block_no re-orders the chain sort, corrupting the
                     # delta-decode (docs out of order, no error raised)
-                    "block_no": (chunk * blocks_per_chunk + block_in_group[bstarts]).astype(np.int64),
-                    "n": (bends - bstarts).astype(np.int32),
-                    "min_doc": docs[bstarts],
-                    "max_doc": docs[bends - 1],
-                    "doc_bytes": [dmem[doffs[s]:doffs[e]] for s, e in zip(bstarts, bends)],
-                    "tf_bytes": [tmem[toffs[s]:toffs[e]] for s, e in zip(bstarts, bends)],
-                    "dl_bytes": [lmem[loffs[s]:loffs[e]] for s, e in zip(bstarts, bends)],
-                    "max_tf": np.maximum.reduceat(tfs, bstarts),
-                    "max_impact": np.maximum.reduceat(impacts, bstarts),
-                }
+                    pa.array((chunk * blocks_per_chunk + block_in_group[bstarts]).astype(np.int64)),
+                    pa.array((bends - bstarts).astype(np.int32)),
+                    pa.array(docs[bstarts]),
+                    pa.array(docs[bends - 1]),
+                    bin_col(dbuf, doffs),
+                    bin_col(tbuf, toffs),
+                    bin_col(lbuf, loffs),
+                    pa.array(np.maximum.reduceat(tfs, bstarts)),
+                    pa.array(np.maximum.reduceat(impacts, bstarts)),
+                ],
+                names=["shard", "term", "field", "block_no", "n", "min_doc", "max_doc",
+                       "doc_bytes", "tf_bytes", "dl_bytes", "max_tf", "max_impact"],
             )
 
-    return grouped.mapInPandas(encode, schema=SEGMENT_COLS)
+    return grouped.mapInArrow(encode, schema=SEGMENT_COLS)
 
 
 def decode_segment_rows(rows: pd.DataFrame) -> pd.DataFrame:
