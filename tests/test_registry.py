@@ -34,3 +34,16 @@ def test_queries_and_oracles_name_the_same_set():
 def test_registry_names_are_stable_identifiers():
     for name in entrymod.queries():
         assert name.isidentifier() and name == name.lower()
+
+
+def test_headroom_protocol_queries_exist():
+    """r7 (VERDICT r6 directive 7): the documented cap-headroom re-admission
+    order must stay actionable — the folded-out query functions exist, are
+    callable, and are NOT currently registered (they re-enter only when the
+    driver's cap rises, in the order pinned next to the registry)."""
+    readmit_order = ["q_ngram_jaccard_pairs", "q_simhash_fingerprints"]
+    registered = set(entrymod.queries())
+    for fn_name in readmit_order:
+        fn = getattr(entrymod, fn_name, None)
+        assert callable(fn), f"{fn_name} missing — headroom protocol broken"
+        assert fn_name.removeprefix("q_") not in registered

@@ -125,7 +125,17 @@ def admission():
                 import os
 
                 env = os.environ.get("UCUDDLE_MAX_INFLIGHT_QUERIES")
-                limit = int(env) if env is not None else 2
+                try:
+                    limit = int(env) if env not in (None, "") else 2
+                except ValueError:
+                    # fail soft at first use, not as a mid-query 500: a
+                    # malformed env value falls back to the measured default
+                    import warnings
+
+                    warnings.warn(
+                        f"UCUDDLE_MAX_INFLIGHT_QUERIES={env!r} is not an int; using default 2"
+                    )
+                    limit = 2
                 _ADMIT_SEM = _FairGate(limit) if limit > 0 else _NoAdmission()
     return _ADMIT_SEM
 
@@ -386,13 +396,18 @@ def topup_async() -> None:
         # top-up would abort against them anyway — don't even spawn the
         # thread. The last query to end when the box goes idle re-arms it.
         return
-    t = _TOPUP_THREAD
-    if t is not None and t.is_alive():
-        return
     free = _arena_free_bytes()
     if free is not None and _TOPUP_TARGET - free <= 64 * 1024 * 1024:
         return
-    # yield_to_queries: the top-up must never compete with a live query for
-    # memory bandwidth — it aborts on query_begin and retries after that
-    # query's own end-of-query topup_async call
-    _TOPUP_THREAD = prefault_async(_TOPUP_TARGET, yield_to_queries=True)
+    # the alive-check + assignment is under _LOCK (spawn-time only, never
+    # during the touch): two queries ending simultaneously could otherwise
+    # both see no live thread and both spawn GB-scale prefault threads —
+    # they'd serialize on _TOUCH_LOCK, but the loser's touch is pure waste
+    with _LOCK:
+        t = _TOPUP_THREAD
+        if t is not None and t.is_alive():
+            return
+        # yield_to_queries: the top-up must never compete with a live query
+        # for memory bandwidth — it aborts on query_begin and retries after
+        # that query's own end-of-query topup_async call
+        _TOPUP_THREAD = prefault_async(_TOPUP_TARGET, yield_to_queries=True)

@@ -1650,9 +1650,25 @@ class SegmentSearcher:
         import pyarrow.dataset as pds
 
         if rel not in self._pds:
-            self._pds[rel] = pds.dataset(
-                os.path.join(self.store_dir, rel), partitioning="hive"
-            )
+            ds = pds.dataset(os.path.join(self.store_dir, rel), partitioning="hive")
+            # mixed-width block_no guard: a store whose units were written
+            # both before and after the int32→int64 block_no widening holds
+            # both parquet types under one dataset, and pds.dataset() adopts
+            # the FIRST fragment's schema — if that happens to be an int32
+            # unit, the int64 fragments would fail (or unsafely downcast) at
+            # scan time. Pin the dataset schema to int64; int32 fragments
+            # upcast losslessly.
+            import pyarrow as pa
+
+            if "block_no" in ds.schema.names and pa.types.is_int32(
+                ds.schema.field("block_no").type
+            ):
+                idx = ds.schema.get_field_index("block_no")
+                ds = pds.dataset(
+                    os.path.join(self.store_dir, rel), partitioning="hive",
+                    schema=ds.schema.set(idx, pa.field("block_no", pa.int64())),
+                )
+            self._pds[rel] = ds
         return self._pds[rel]
 
     def search_local(self, terms: list[str], k: int = 20, mode: str = "and",
