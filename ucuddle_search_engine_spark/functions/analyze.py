@@ -299,49 +299,62 @@ def make_flat_postings_fn(analyzer: "Analyzer | None", id_col: str = "doc_id", t
     stops = frozenset(analyzer.stopwords) if analyzer is not None else frozenset()
     stem = analyzer.stem_py if analyzer is not None and (analyzer.stem_rules or analyzer.snowball) else None
 
-    def fn(batches):
+    # Arrow hands whole 10k-row batches to the worker; tokenizing ALL of a
+    # batch's docs before aggregating would hold every token string of the
+    # batch alive at once (~0.5-1 GB/worker on 1.5k-token docs — ×32 workers
+    # this crashed a 5M-doc build). Sub-slice so at most SUB docs' tokens are
+    # live per aggregation pass; each pass still vectorizes over ~10^5 tokens.
+    SUB = 2048
+
+    def one_slice(batch):
         pat = re.compile(pat_src)
-        for batch in batches:
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            texts = batch.column(text_col).to_pylist()
-            if stops or stem is not None:
-                _stem = stem if stem is not None else (lambda t: t)
-                tok_lists = [
-                    [] if t is None else [_stem(x) for x in pat.findall(t.lower()) if x not in stops]
-                    for t in texts
-                ]
-            else:
-                tok_lists = [[] if t is None else pat.findall(t.lower()) for t in texts]
-            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
-            n = int(lens.sum())
-            if n == 0:
-                continue
-            doc_idx = np.repeat(np.arange(len(tok_lists)), lens)
-            all_toks = np.empty(n, dtype=object)
-            off = 0
-            for tl in tok_lists:
-                all_toks[off:off + len(tl)] = tl
-                off += len(tl)
-            pos = np.concatenate([np.arange(k, dtype=np.int32) for k in lens if k > 0])
-            codes, _ = pd.factorize(all_toks)
-            order = np.lexsort((pos, codes, doc_idx))
-            di, cd, po = doc_idx[order], codes[order], pos[order]
-            newg = np.empty(n, dtype=bool)
-            newg[0] = True
-            newg[1:] = (di[1:] != di[:-1]) | (cd[1:] != cd[:-1])
-            starts = np.flatnonzero(newg)
-            ends = np.append(starts[1:], n)
-            offsets = np.concatenate(([0], ends)).astype(np.int32)
-            yield pa.record_batch(
-                [
-                    pa.array(ids[di[starts]], type=pa.int64()),
-                    pa.array(all_toks[order][starts], type=pa.string()),
-                    pa.array((ends - starts).astype(np.int64)),
-                    pa.ListArray.from_arrays(pa.array(offsets), pa.array(po)),
-                    pa.array(lens[di[starts]], type=pa.int64()),
-                ],
-                names=["doc_id", "term", "tf", "positions", "doclen"],
-            )
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        if stops or stem is not None:
+            _stem = stem if stem is not None else (lambda t: t)
+            tok_lists = [
+                [] if t is None else [_stem(x) for x in pat.findall(t.lower()) if x not in stops]
+                for t in texts
+            ]
+        else:
+            tok_lists = [[] if t is None else pat.findall(t.lower()) for t in texts]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+        n = int(lens.sum())
+        if n == 0:
+            return None
+        doc_idx = np.repeat(np.arange(len(tok_lists)), lens)
+        all_toks = np.empty(n, dtype=object)
+        w = 0
+        for tl in tok_lists:
+            all_toks[w:w + len(tl)] = tl
+            w += len(tl)
+        pos = np.concatenate([np.arange(k, dtype=np.int32) for k in lens if k > 0])
+        codes, _ = pd.factorize(all_toks)
+        order = np.lexsort((pos, codes, doc_idx))
+        di, cd, po = doc_idx[order], codes[order], pos[order]
+        newg = np.empty(n, dtype=bool)
+        newg[0] = True
+        newg[1:] = (di[1:] != di[:-1]) | (cd[1:] != cd[:-1])
+        starts = np.flatnonzero(newg)
+        ends = np.append(starts[1:], n)
+        offsets = np.concatenate(([0], ends)).astype(np.int32)
+        return pa.record_batch(
+            [
+                pa.array(ids[di[starts]], type=pa.int64()),
+                pa.array(all_toks[order][starts], type=pa.string()),
+                pa.array((ends - starts).astype(np.int64)),
+                pa.ListArray.from_arrays(pa.array(offsets), pa.array(po)),
+                pa.array(lens[di[starts]], type=pa.int64()),
+            ],
+            names=["doc_id", "term", "tf", "positions", "doclen"],
+        )
+
+    def fn(batches):
+        for whole in batches:
+            for off in range(0, whole.num_rows, SUB):
+                out = one_slice(whole.slice(off, min(SUB, whole.num_rows - off)))
+                if out is not None:
+                    yield out
 
     return fn
 

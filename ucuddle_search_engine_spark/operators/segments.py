@@ -104,7 +104,31 @@ def build_segments(
         and O(#blocks) Python byte slicing)."""
         import pyarrow as pa
 
-        for batch in batches:
+        # bound the working set per pass: a 10k-group Arrow batch can hold
+        # tens of millions of postings at the 5M-doc scale; decode/encode in
+        # row slices of ≤ ~2M postings so peak numpy memory per worker stays
+        # ~50 MB regardless of batch geometry
+        MAX_POSTINGS_PER_PASS = 2_000_000
+
+        def slices(batch):
+            lens_all = pa.compute.list_value_length(batch.column("docs")).to_numpy().astype(np.int64)
+            start = 0
+            acc = 0
+            for i, ln in enumerate(lens_all):
+                if acc and acc + ln > MAX_POSTINGS_PER_PASS:
+                    yield batch.slice(start, i - start)
+                    start, acc = i, 0
+                acc += int(ln)
+            if start < batch.num_rows:
+                yield batch.slice(start, batch.num_rows - start)
+
+        def gen_batches(it):
+            for whole in it:
+                if whole.num_rows == 0:
+                    continue
+                yield from slices(whole)
+
+        for batch in gen_batches(batches):
             nrows = batch.num_rows
             if nrows == 0:
                 continue

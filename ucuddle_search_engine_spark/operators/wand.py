@@ -284,7 +284,13 @@ class DecodeCache:
 
     #: cap on concurrent decode parts — beyond ~6 the allocator (single
     #: glibc arena, see mem.enable_heap_reuse) and memory bandwidth saturate
-    GSM_MAX_PARTS = 6
+    #: (r7: env-tunable for per-box sweeps; 6 stays the measured default —
+    #: the 12/16-part sweep on this box did not beat it, see
+    #: BENCH/query_classes.json cold-fuzzy rows)
+    try:
+        GSM_MAX_PARTS = max(1, int(os.environ.get("UCUDDLE_GSM_MAX_PARTS", "6")))
+    except ValueError:
+        GSM_MAX_PARTS = 6
     #: minimum blocks (~128 postings each) per part — below ~2M postings a
     #: part's thread + join overhead outweighs the overlap
     GSM_PART_MIN_BLOCKS = 16384
@@ -2019,7 +2025,17 @@ class SegmentSearcher:
                 if self._pool is None:
                     import concurrent.futures
 
+                    # r7: width env-tunable for the admission × pool sweep at
+                    # 5M (VERDICT r6 directive 4); default = all cores, the
+                    # 1M-measured optimum when the admission gate caps
+                    # concurrent queries at 2
+                    try:
+                        width = int(os.environ.get("UCUDDLE_QUERY_POOL_WIDTH", "0"))
+                    except ValueError:
+                        width = 0
+                    if width <= 0:
+                        width = min(32, os.cpu_count() or 8)
                     self._pool = concurrent.futures.ThreadPoolExecutor(
-                        max_workers=min(32, os.cpu_count() or 8),
+                        max_workers=width,
                         thread_name_prefix="score")
         return self._pool
