@@ -359,7 +359,19 @@ def build_index_resumable(
     docs = build_docs(corpus, num_shards=num_shards, scale_ids=scale_ids, analyzer=analyzer,
                       ingest_ts=ingest_ts).withColumn(
         "_unit", _unit_col(n_units)
-    ).persist()
+    )
+    # r7 droop fix: range-partition the persisted docs by (_unit, doc_id) so
+    # every cached batch holds ONE unit. The per-unit jobs filter on _unit,
+    # and Spark's in-memory batch-stat pruning then skips every other unit's
+    # batches — without this, EVERY per-unit job (docs write, segments,
+    # sidecar) re-scanned the whole corpus-sized cache, an
+    # O(n_units × corpus) total that grew the 5M build superlinearly
+    # (BENCH/scale_curve.json build_throughput_ratio_5m_vs_1m 0.72 in r6).
+    # n_units × defaultParallelism partitions keep each unit's slice as wide
+    # as the box. Boundaries are sampled once at materialization (the cache
+    # pins one physical plan, so evicted-batch recompute reuses them).
+    par = spark.sparkContext.defaultParallelism
+    docs = docs.repartitionByRange(n_units * par, "_unit", "doc_id").persist()
     cstats = _global_field_stats(docs, analyzer=analyzer).persist()
     cstats.count()
     if analyzer is not None:
@@ -411,9 +423,39 @@ def build_index_resumable(
         # fast path: per-doc termvectors carry doclen → scan → analyze →
         # one map-side-combined shuffle → encode (see operators/segments.py)
         postings_u = build_postings_fast(docs_u, analyzer=analyzer)
-        segs = build_segments(postings_u, None, cstats, num_shards=num_shards, block_size=block_size)
         docs_path = os.path.join(out_dir, f"docs/unit={pid}")
         seg_path = os.path.join(out_dir, f"segments/unit={pid}")
+        post_path = os.path.join(out_dir, f"postings/unit={pid}")
+        n_docs = docs_u.count()
+        if write_postings and n_docs:
+            # positional postings sidecar (Lucene's .pos analogue): lets a
+            # written index serve highlight (C7) and phrase queries without
+            # re-reading the corpus. Same tb layout as segments/tstats: a
+            # phrase/highlight lookup prunes to |q| of 64 directories and
+            # term-sorted row groups instead of footer-scanning every file.
+            # r7: written FIRST, and the segment encode below reads the
+            # written sidecar back (column-pruned: no positions) instead of
+            # re-running the analyzer — the old order tokenized every doc
+            # TWICE per unit (once for segments, once for the sidecar).
+            (
+                postings_u.withColumn(
+                    "tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int")
+                )
+                .repartition("tb")
+                .sortWithinPartitions("tb", "term", "doc_id")
+                .write.mode("overwrite")
+                # small row groups for the same reason as segments: the
+                # phrase/highlight sidecar reads are term-pruned point scans
+                .option("parquet.block.size", SEG_ROW_GROUP_BYTES)
+                .partitionBy("tb")
+                .parquet(post_path)
+            )
+            postings_src = spark.read.parquet(post_path).select(
+                "term", "doc_id", "field", "tf", "doclen"
+            )
+        else:
+            postings_src = postings_u
+        segs = build_segments(postings_src, None, cstats, num_shards=num_shards, block_size=block_size)
         # content is stored like ES stores _source: display + native highlight
         # (C7) straight from the written store
         docs_u.write.mode("overwrite").parquet(docs_path)
@@ -438,26 +480,6 @@ def build_index_resumable(
             .partitionBy("tb")
             .parquet(seg_path)
         )
-        if write_postings:
-            # positional postings sidecar (Lucene's .pos analogue): lets a
-            # written index serve highlight (C7) and phrase queries without
-            # re-reading the corpus. Same tb layout as segments/tstats: a
-            # phrase/highlight lookup prunes to |q| of 64 directories and
-            # term-sorted row groups instead of footer-scanning every file.
-            (
-                postings_u.withColumn(
-                    "tb", F.pmod(md5_prefix_long("term"), F.lit(TERM_BUCKETS)).cast("int")
-                )
-                .repartition("tb")
-                .sortWithinPartitions("tb", "term", "doc_id")
-                .write.mode("overwrite")
-                # small row groups for the same reason as segments: the
-                # phrase/highlight sidecar reads are term-pruned point scans
-                .option("parquet.block.size", SEG_ROW_GROUP_BYTES)
-                .partitionBy("tb")
-                .parquet(os.path.join(out_dir, f"postings/unit={pid}"))
-            )
-        n_docs = docs_u.count()
         # an empty unit (units hash by repo — a skewed/singleton repo set can
         # starve one) writes only a _SUCCESS marker; don't read it back
         n_terms = (
