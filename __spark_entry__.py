@@ -288,6 +288,17 @@ def q_window_latest_event(spark, sf_dir):
     the sort across cores here; revisit only if the events input arrives
     pre-split into many files."""
     events = load_table(spark, sf_dir, "events")
+    # Scale-adaptive widening (opt guide §2.5 "input skew: one unsplittable
+    # file → repartition right after the read"): the events table is ONE
+    # parquet row group, so the window's map side — a full Sort feeding
+    # WindowGroupLimit(Partial) — ran in a single task (measured r7: the sort
+    # of the whole table on one core dominated the query). Hash-repartition
+    # on user_id up to defaultParallelism: it satisfies the window's
+    # ENSURE_REQUIREMENTS outright (no second exchange) and the sort runs on
+    # every core. A no-op whenever the input already arrives in enough splits.
+    par = spark.sparkContext.defaultParallelism
+    if events.rdd.getNumPartitions() < par:
+        events = events.repartition(par, F.col("user_id"))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
         events.withColumn("rn", F.row_number().over(w))

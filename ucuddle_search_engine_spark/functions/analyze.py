@@ -306,30 +306,75 @@ def make_flat_postings_fn(analyzer: "Analyzer | None", id_col: str = "doc_id", t
     # live per aggregation pass; each pass still vectorizes over ~10^5 tokens.
     SUB = 2048
 
+    # Vectorized tokenizer fast path (opt guide §4.2: whole-batch native
+    # kernels instead of per-row Python): findall('[a-z0-9]+') over lowered
+    # text == split on the complement class with empty segments dropped, and
+    # pyarrow exposes both halves as C++ kernels (utf8_lower +
+    # split_pattern_regex via RE2). Gated to the cases where equivalence is
+    # PROVABLE, not plausible: identity analyzer (no stop/stem), the default
+    # ASCII token pattern, and a pure-ASCII batch slice (checked with
+    # string_is_ascii — on ASCII bytes, Python str.lower, utf8proc lower and
+    # byte-wise lower coincide and re/RE2 agree on the class). Anything else
+    # falls back to the per-doc regex path below, so exotic Unicode costs
+    # correctness nothing. tests/test_postings_fast.py pins row parity.
+    arrow_ok = stem is None and not stops and pat_src == TOKEN_PATTERN
+
+    def arrow_tokens(texts_arr):
+        """texts (pa.Array, nulls allowed, pure ASCII) → (doc_idx, codes,
+        dictionary, pos, lens) with identical semantics to per-doc findall."""
+        import pyarrow.compute as pc
+
+        lower = pc.utf8_lower(pc.fill_null(texts_arr, ""))
+        lst = pc.split_pattern_regex(lower, "[^a-z0-9]+")
+        counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        vals = pc.list_flatten(lst)
+        keep = pc.binary_length(vals).to_numpy() > 0
+        doc_idx = np.repeat(np.arange(len(counts)), counts)[keep]
+        enc = pc.dictionary_encode(vals.filter(pa.array(keep)))
+        codes = enc.indices.to_numpy().astype(np.int64)
+        lens = np.bincount(doc_idx, minlength=len(counts)).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = (np.arange(len(doc_idx)) - np.repeat(starts, lens)).astype(np.int32)
+        return doc_idx, codes, enc.dictionary, pos, lens
+
     def one_slice(batch):
         pat = re.compile(pat_src)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        texts = batch.column(text_col).to_pylist()
-        if stops or stem is not None:
-            _stem = stem if stem is not None else (lambda t: t)
-            tok_lists = [
-                [] if t is None else [_stem(x) for x in pat.findall(t.lower()) if x not in stops]
-                for t in texts
-            ]
+        texts_arr = batch.column(text_col)
+        use_arrow = arrow_ok and bool(
+            pa.compute.all(
+                pa.compute.string_is_ascii(pa.compute.fill_null(texts_arr, ""))
+            ).as_py()
+        )
+        if use_arrow:
+            doc_idx, codes, dictionary, pos, lens = arrow_tokens(texts_arr)
+            n = len(doc_idx)
+            if n == 0:
+                return None
+            all_toks = None
         else:
-            tok_lists = [[] if t is None else pat.findall(t.lower()) for t in texts]
-        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
-        n = int(lens.sum())
-        if n == 0:
-            return None
-        doc_idx = np.repeat(np.arange(len(tok_lists)), lens)
-        all_toks = np.empty(n, dtype=object)
-        w = 0
-        for tl in tok_lists:
-            all_toks[w:w + len(tl)] = tl
-            w += len(tl)
-        pos = np.concatenate([np.arange(k, dtype=np.int32) for k in lens if k > 0])
-        codes, _ = pd.factorize(all_toks)
+            texts = texts_arr.to_pylist()
+            if stops or stem is not None:
+                _stem = stem if stem is not None else (lambda t: t)
+                tok_lists = [
+                    [] if t is None else [_stem(x) for x in pat.findall(t.lower()) if x not in stops]
+                    for t in texts
+                ]
+            else:
+                tok_lists = [[] if t is None else pat.findall(t.lower()) for t in texts]
+            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+            n = int(lens.sum())
+            if n == 0:
+                return None
+            doc_idx = np.repeat(np.arange(len(tok_lists)), lens)
+            all_toks = np.empty(n, dtype=object)
+            w = 0
+            for tl in tok_lists:
+                all_toks[w:w + len(tl)] = tl
+                w += len(tl)
+            pos = np.concatenate([np.arange(k, dtype=np.int32) for k in lens if k > 0])
+            codes, _ = pd.factorize(all_toks)
+            dictionary = None
         order = np.lexsort((pos, codes, doc_idx))
         di, cd, po = doc_idx[order], codes[order], pos[order]
         newg = np.empty(n, dtype=bool)
@@ -338,10 +383,14 @@ def make_flat_postings_fn(analyzer: "Analyzer | None", id_col: str = "doc_id", t
         starts = np.flatnonzero(newg)
         ends = np.append(starts[1:], n)
         offsets = np.concatenate(([0], ends)).astype(np.int32)
+        if dictionary is not None:
+            term_col = dictionary.take(pa.array(cd[starts])).cast(pa.string())
+        else:
+            term_col = pa.array(all_toks[order][starts], type=pa.string())
         return pa.record_batch(
             [
                 pa.array(ids[di[starts]], type=pa.int64()),
-                pa.array(all_toks[order][starts], type=pa.string()),
+                term_col,
                 pa.array((ends - starts).astype(np.int64)),
                 pa.ListArray.from_arrays(pa.array(offsets), pa.array(po)),
                 pa.array(lens[di[starts]], type=pa.int64()),

@@ -99,6 +99,15 @@ def pagerank(
     def _b(df):
         return F.broadcast(df) if bcast_ranks else df
 
+    # Checkpoint cadence: per-iteration localCheckpoint stays the right shape
+    # in BOTH regimes (examined r7, batching rejected by measurement): without
+    # the eager checkpoint each un-checkpointed iteration re-plans and
+    # re-executes the growing broadcast chain — the 5-iteration bench
+    # REGRESSED 2.4 s → 9.5 s when K iterations were batched per checkpoint,
+    # because the dangling anti-join's streamed `ranks` side and each
+    # broadcast build re-traverse the whole uncheckpointed lineage (AQE
+    # re-plans every nested subquery; exchange reuse does not span them).
+
     ranks = all_ids.select(F.col("doc_id"), F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         contribs = (
