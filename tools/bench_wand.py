@@ -30,6 +30,14 @@ CSTATS = "/root/repo/.data/million_cstats.json"
 CORPUS = "/root/repo/.data/corpus_1000000"
 N_DOCS = 1_000_000
 
+# r7: the flat round-1 fixture no longer survives between sessions; fall back
+# to the resumable-build store (same block-row schema under unit=/tb= dirs,
+# and its cstats.json IS the true build-time stats file)
+if not Path(SEGS).exists() and Path("/root/repo/.data/million_store/segments").exists():
+    SEGS = "/root/repo/.data/million_store/segments"
+    if not Path(CSTATS).exists():
+        CSTATS = "/root/repo/.data/million_store/cstats.json"
+
 QUERY_SETS = {
     "head2": ["t0", "t1"],
     "head4": ["t0", "t1", "t2", "t3"],

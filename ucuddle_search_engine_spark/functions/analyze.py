@@ -338,13 +338,17 @@ def make_flat_postings_fn(analyzer: "Analyzer | None", id_col: str = "doc_id", t
         return doc_idx, codes, enc.dictionary, pos, lens
 
     def one_slice(batch):
+        # worker-side import: pyarrow does NOT auto-import its compute
+        # submodule, and the closure's `pa` is re-imported by name in the
+        # worker, so a bare pa.compute crashes in fresh workers (hit in the
+        # r7 5M store build on segments.py's equivalent; fixed both)
+        import pyarrow.compute as pc
+
         pat = re.compile(pat_src)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         texts_arr = batch.column(text_col)
         use_arrow = arrow_ok and bool(
-            pa.compute.all(
-                pa.compute.string_is_ascii(pa.compute.fill_null(texts_arr, ""))
-            ).as_py()
+            pc.all(pc.string_is_ascii(pc.fill_null(texts_arr, ""))).as_py()
         )
         if use_arrow:
             doc_idx, codes, dictionary, pos, lens = arrow_tokens(texts_arr)

@@ -67,8 +67,6 @@ def phrase_match(postings: DataFrame, terms: list[str], field: int = 0,
     phrase_tf to phrase_match_join (parity-tested)."""
     if not terms:
         raise ValueError("empty phrase")
-    import pandas as pd
-
     spark = postings.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -77,25 +75,44 @@ def phrase_match(postings: DataFrame, terms: list[str], field: int = 0,
         F.col("term").isin(sorted(set(tlist))) & (F.col("field") == field)
     ).select("term", "doc_id", "positions")
 
-    def match_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    # r7: mapInArrow over doc-hash partitions instead of
+    # groupBy(bucket).applyInPandas. Two wins, same rows (parity-tested
+    # against the join chain): (a) applyInPandas materialized every positions
+    # list as a per-row Python object (the dominant cost of the merge — ~2M
+    # list objects at 1M docs for a head-head phrase); the Arrow path reads
+    # the ListArray's value buffer + offsets directly, zero per-row objects.
+    # (b) the synthetic bucket key (pmod into num_buckets partitions with
+    # only num_buckets distinct values) left ~1/e of tasks empty and gave
+    # others 2-3 buckets (guide §2.5); hashing the raw doc_id spreads evenly,
+    # and doc co-location — the only property the merge needs — still holds.
+    def match_part(batches):
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
+        chunks = [b for b in batches if b.num_rows]
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        enc = pc.dictionary_encode(tbl.column("term").combine_chunks())
+        codes = enc.indices.to_numpy().astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        present = {t: i for i, t in enumerate(vocab)}
+        if any(t not in present for t in tlist):
+            return
+        docs_np = tbl.column("doc_id").combine_chunks().to_numpy()
+        lst = tbl.column("positions").combine_chunks()
+        counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(lst).to_numpy().astype(np.int64)
+        allk = (np.repeat(docs_np, counts) << 32) | flat
+        code_rep = np.repeat(codes, counts)
         keys: dict[str, np.ndarray] = {}
-        for t, sub in pdf.groupby("term", sort=False):
-            docs = sub["doc_id"].to_numpy(dtype=np.int64)
-            poslists = sub["positions"].to_numpy()
-            counts = np.fromiter((len(p) for p in poslists), np.int64, len(poslists))
-            if not counts.sum():
-                keys[t] = np.empty(0, np.int64)
-                continue
-            flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in poslists])
-            kt = (np.repeat(docs, counts) << 32) | flat
+        for t in dict.fromkeys(tlist):
+            kt = allk[code_rep == present[t]]
+            if not len(kt):
+                return
             kt.sort()
             keys[t] = kt
-        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                              "phrase_tf": pd.Series(dtype="int64")})
-        if any(t not in keys or not len(keys[t]) for t in tlist):
-            return empty
         cur = keys[tlist[0]]
         for i, t in enumerate(tlist[1:], start=1):
             kt = keys[t]
@@ -105,14 +122,16 @@ def phrase_match(postings: DataFrame, terms: list[str], field: int = 0,
             ok[ok] = kt[idx[ok]] == probe[ok]
             cur = cur[ok]
             if not len(cur):
-                return empty
+                return
         uniq, tf = np.unique(cur >> 32, return_counts=True)
-        return pd.DataFrame({"doc_id": uniq.astype(np.int64),
-                             "phrase_tf": tf.astype(np.int64)})
+        yield pa.record_batch(
+            [pa.array(uniq.astype(np.int64)), pa.array(tf.astype(np.int64))],
+            names=["doc_id", "phrase_tf"],
+        )
 
     return (
-        pruned.groupBy(F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).alias("_b"))
-        .applyInPandas(match_bucket, schema="doc_id long, phrase_tf long")
+        pruned.repartition(num_buckets, F.col("doc_id"))
+        .mapInArrow(match_part, schema="doc_id long, phrase_tf long")
     )
 
 

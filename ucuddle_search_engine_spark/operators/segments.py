@@ -103,6 +103,11 @@ def build_segments(
         mapInPandas form spent ~0.9 s/batch-set on list-of-struct conversion
         and O(#blocks) Python byte slicing)."""
         import pyarrow as pa
+        # explicit: pyarrow does NOT auto-import its compute submodule, and a
+        # fresh (e.g. memory-bounded) Python worker that has never touched the
+        # pandas conversion path crashes on bare `pa.compute` (hit in the r7
+        # 5M store build; unit/bench workers had it transitively imported)
+        import pyarrow.compute  # noqa: F401
 
         # bound the working set per pass: a 10k-group Arrow batch can hold
         # tens of millions of postings at the 5M-doc scale; decode/encode in

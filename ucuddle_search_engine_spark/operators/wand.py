@@ -2026,15 +2026,27 @@ class SegmentSearcher:
                     import concurrent.futures
 
                     # r7: width env-tunable for the admission × pool sweep at
-                    # 5M (VERDICT r6 directive 4); default = all cores, the
-                    # 1M-measured optimum when the admission gate caps
-                    # concurrent queries at 2
+                    # 5M (VERDICT r6 directive 4). Swept defaults
+                    # (BENCH/serving_sweep_5m.json, admission 2 fixed): on the
+                    # 10-shard 5M store pool 8 sustains 25.2 QPS p95 406 ms
+                    # vs 17.6/702 at pool 32 — with 2 queries in flight,
+                    # 2×32 scoring threads thrash 32 cores, while 2×8 keeps
+                    # every core busy without oversubscription. On the
+                    # 3-shard 1M store all-cores remains the measured
+                    # optimum (wide per-query fan-out hides chain-decode
+                    # latency when per-shard work is small). So: few-shard
+                    # stores default to all cores, ≥8-shard stores to
+                    # cores//4 (floor 8).
                     try:
                         width = int(os.environ.get("UCUDDLE_QUERY_POOL_WIDTH", "0"))
                     except ValueError:
                         width = 0
                     if width <= 0:
-                        width = min(32, os.cpu_count() or 8)
+                        cores = os.cpu_count() or 8
+                        if (self.num_shards or 1) >= 8:
+                            width = max(8, cores // 4)
+                        else:
+                            width = min(32, cores)
                     self._pool = concurrent.futures.ThreadPoolExecutor(
                         max_workers=width,
                         thread_name_prefix="score")
