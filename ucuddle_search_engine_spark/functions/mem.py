@@ -161,6 +161,12 @@ def query_end() -> None:
         _ACTIVE_QUERIES -= 1
 
 
+def active_queries() -> int:
+    """Queries executing right now (admission-bounded). Racy reads are fine
+    for its consumers (width heuristics); the counter itself is lock-kept."""
+    return _ACTIVE_QUERIES
+
+
 def enable_heap_reuse() -> bool:
     """mallopt so glibc serves large allocations from the reusable heap
     instead of fresh mmaps. Idempotent; returns False on non-glibc."""

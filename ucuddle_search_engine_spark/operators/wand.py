@@ -1886,8 +1886,40 @@ class SegmentSearcher:
             # 321 ms pooled vs 1.37 s serial.
             if len(groups) > 1 and \
                     total_sel >= SegmentSearcher.POOL_MIN_POSTINGS * len(groups):
-                for part in self._scoring_pool().map(run_group, list(groups.values())):
-                    tops.extend(part)
+                # Adaptive per-query fan-out width (r7, VERDICT directive 4):
+                # the pool itself stays all-cores wide, but when OTHER
+                # queries are executing (mem.active_queries > 1) this query
+                # submits in waves of cores // (2 × active) — the 5M sweep
+                # (BENCH/serving_sweep_5m.json) measured 2 queries × 8
+                # threads at 25.2 QPS p95 406 ms vs 17.6 QPS p95 702 ms
+                # when both fanned to all 32 (thread thrash), while a LONE
+                # query keeps the full width (fuzzy warm 0.6 s at 32 vs
+                # 1.0-1.1 s at a fixed 8). Wave quota, not pool width, so
+                # both regimes get their measured optimum.
+                import concurrent.futures as _cf
+                import itertools as _it
+
+                from ..functions import mem as _mem
+
+                work = list(groups.values())
+                act = _mem.active_queries()
+                cores = os.cpu_count() or 8
+                # under concurrency the sweep optimum (pool 8 TOTAL on 32
+                # cores for 2 queries) says the scoring path is GIL-convoy
+                # bound past ~cores/4 live threads — so split that budget
+                # across the active queries, don't give each a slice of all
+                # cores
+                quota = len(work) if act <= 1 else max(2, (cores // 4) // act)
+                pool = self._scoring_pool()
+                it = iter(work)
+                futs = {pool.submit(run_group, w)
+                        for w in _it.islice(it, quota)}
+                while futs:
+                    done, futs = _cf.wait(futs, return_when=_cf.FIRST_COMPLETED)
+                    for f in done:
+                        tops.extend(f.result())
+                    futs.update(pool.submit(run_group, w)
+                                for w in _it.islice(it, len(done)))
             else:
                 for chains in groups.values():
                     tops.extend(run_group(chains))
@@ -2026,27 +2058,18 @@ class SegmentSearcher:
                     import concurrent.futures
 
                     # r7: width env-tunable for the admission × pool sweep at
-                    # 5M (VERDICT r6 directive 4). Swept defaults
-                    # (BENCH/serving_sweep_5m.json, admission 2 fixed): on the
-                    # 10-shard 5M store pool 8 sustains 25.2 QPS p95 406 ms
-                    # vs 17.6/702 at pool 32 — with 2 queries in flight,
-                    # 2×32 scoring threads thrash 32 cores, while 2×8 keeps
-                    # every core busy without oversubscription. On the
-                    # 3-shard 1M store all-cores remains the measured
-                    # optimum (wide per-query fan-out hides chain-decode
-                    # latency when per-shard work is small). So: few-shard
-                    # stores default to all cores, ≥8-shard stores to
-                    # cores//4 (floor 8).
+                    # 5M (VERDICT r6 directive 4); default = all cores. The
+                    # CONCURRENT-query throttling the sweep motivated lives
+                    # at the submission site (adaptive wave quota from
+                    # mem.active_queries, above), not in the pool width — a
+                    # fixed narrow pool bought 25 QPS under load but doubled
+                    # a lone query's fuzzy fan-out latency.
                     try:
                         width = int(os.environ.get("UCUDDLE_QUERY_POOL_WIDTH", "0"))
                     except ValueError:
                         width = 0
                     if width <= 0:
-                        cores = os.cpu_count() or 8
-                        if (self.num_shards or 1) >= 8:
-                            width = max(8, cores // 4)
-                        else:
-                            width = min(32, cores)
+                        width = min(32, os.cpu_count() or 8)
                     self._pool = concurrent.futures.ThreadPoolExecutor(
                         max_workers=width,
                         thread_name_prefix="score")
